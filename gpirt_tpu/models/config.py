@@ -1,0 +1,145 @@
+"""Static configuration and precomputed constants for the GP-IRT sampler."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpirt_tpu.ops.kernels import icc_gram, time_gram
+from gpirt_tpu.ops.linalg import host_cholesky_f64
+
+__all__ = ["GPIRTConfig", "GPIRTConstants", "make_constants", "THETA_LO", "THETA_HI"]
+
+THETA_LO = -5.0
+THETA_HI = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GPIRTConfig:
+    """Hashable static configuration (safe as a jit static argument).
+
+    Mirrors the reference sampler's arguments (src/gpirtMCMC.cpp:24-38) plus
+    TPU-specific knobs. Shapes here are *static*: changing any field triggers
+    one recompile.
+    """
+
+    n: int  # respondents
+    m: int  # items
+    horizon: int = 1  # time periods / sessions
+    C: int = 2  # ordinal categories
+    grid_size: int = 1001  # theta* grid resolution (reference: 1001 on [-5,5])
+    theta_os: float = 1.0
+    theta_ls: float = 10.0
+    kernel: str = "Matern"  # time kernel: "Matern" | "RBF"
+    constant_IRF: bool = False
+    n_inducing: int = 100  # inducing points for constant-IRF fstar path
+    jitter: float = 1e-6  # model nugget (reference: 1e-6 everywhere)
+    dtype: str = "float32"  # compute dtype on device
+    ess_max_rounds: int = 64
+    fstar_method: str = "matheron"  # "matheron" (fast, grid-pathwise) | "chol"
+    mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def theta_regime(self) -> str:
+        """The reference's three length-scale regimes (src/draw-theta.cpp:112-236).
+
+        "CST": ls >= 3*horizon  -> one constant theta shared by all sessions
+        "RDM": ls <= 0.1        -> independent theta per session
+        "GP":  otherwise        -> GP prior over time
+        For horizon == 1 all three coincide; we canonicalize to CST.
+        """
+        if self.horizon == 1:
+            return "CST"
+        if self.theta_ls >= 3 * self.horizon:
+            return "CST"
+        if self.theta_ls <= 0.1:
+            return "RDM"
+        return "GP"
+
+    @property
+    def grid_step(self) -> float:
+        return (THETA_HI - THETA_LO) / (self.grid_size - 1)
+
+
+@dataclasses.dataclass
+class GPIRTConstants:
+    """Per-run device constants, precomputed once at setup time.
+
+    The central TPU-first trick: theta values are snapped to the fixed grid
+    after every draw (reference src/draw-theta.cpp:165-168), so *every* Gram
+    the sampler needs — K(theta, theta), K(theta, theta*), K(theta*, theta*) —
+    is a gather from this one master ``grid_gram``. No kernel evaluations on
+    the hot path, and the grid Cholesky (used by Matheron-rule fstar draws)
+    is factorized exactly once, in float64 on the host.
+    """
+
+    grid: jnp.ndarray  # (N,) theta* grid
+    grid_gram: jnp.ndarray  # (N, N) master ICC Gram over the grid (no jitter)
+    L_grid: jnp.ndarray  # (N, N) chol(grid_gram + jitter I), f64-computed
+    Xstar: jnp.ndarray  # (N, 3) [1, theta*, theta*^2]
+    beta_prior_means: jnp.ndarray  # (3, m)
+    beta_prior_sds: jnp.ndarray  # (3, m)
+    theta_prior_means: jnp.ndarray  # (2, n)
+    theta_prior_sds: jnp.ndarray  # (2, n)
+    L_time: Optional[jnp.ndarray]  # (H, H) time-GP chol, or None outside GP regime
+    inducing: Optional[jnp.ndarray]  # (n_inducing,) inducing grid (constant_IRF)
+
+
+def make_constants(
+    config: GPIRTConfig,
+    beta_prior_means: np.ndarray,
+    beta_prior_sds: np.ndarray,
+    theta_prior_means: np.ndarray,
+    theta_prior_sds: np.ndarray,
+) -> GPIRTConstants:
+    dt = config.jdtype
+    N = config.grid_size
+    grid64 = np.linspace(THETA_LO, THETA_HI, N)
+    sds_col0 = np.asarray(beta_prior_sds, np.float64)[:, 0]
+    gram64 = np.asarray(icc_gram(grid64, grid64, sds_col0))
+    L_grid = host_cholesky_f64(gram64, config.jitter, dtype=dt)
+
+    Xstar = np.stack([np.ones(N), grid64, grid64**2], axis=1)
+
+    L_time = None
+    if config.theta_regime == "GP":
+        # Reference quirk (deliberately reproduced): the cholesky cache builds
+        # L_time with *zeroed* prior sds (src/cholesky-cache.cpp:31), making
+        # the factor identical for every respondent — so it is one (H, H)
+        # matrix computed once, not n of them per iteration.
+        ts = np.arange(config.horizon, dtype=np.float64)
+        Vt = np.asarray(
+            time_gram(ts, ts, config.theta_os, config.theta_ls, np.zeros(2), config.kernel)
+        )
+        L_time = jnp.asarray(
+            host_cholesky_f64(Vt, config.jitter, dtype=dt)
+        )
+
+    inducing = None
+    if config.constant_IRF:
+        # Filled in lazily by the sampler (depends on theta range like the
+        # reference, src/draw-fstar.cpp:75, which uses linspace(min, max)).
+        # We pin it to the full grid range for staticness; see gibbs.py.
+        inducing = jnp.asarray(
+            np.linspace(THETA_LO, THETA_HI, config.n_inducing), dt
+        )
+
+    return GPIRTConstants(
+        grid=jnp.asarray(grid64, dt),
+        grid_gram=jnp.asarray(gram64, dt),
+        L_grid=jnp.asarray(L_grid),
+        Xstar=jnp.asarray(Xstar, dt),
+        beta_prior_means=jnp.asarray(beta_prior_means, dt),
+        beta_prior_sds=jnp.asarray(beta_prior_sds, dt),
+        theta_prior_means=jnp.asarray(theta_prior_means, dt),
+        theta_prior_sds=jnp.asarray(theta_prior_sds, dt),
+        L_time=L_time,
+        inducing=inducing,
+    )

@@ -1,0 +1,117 @@
+"""Ordinal-probit likelihood and cutpoint transforms, dense-masked for TPU.
+
+Model (reference: src/log-likelihood.cpp:19-33):
+  P(y = c | g) = Phi(t_c - g) - Phi(t_{c-1} - g),  g = f + mu,
+with per-item cutpoints t_0 = -inf < t_1 < ... < t_C = +inf and a numerical
+floor of 1e-6 inside the log.
+
+TPU-native representation: instead of the reference's per-item observed-index
+gather fields (arma::field<uvec>), missing responses are handled with a dense
+mask and static shapes. Responses are stored as int32 categories in 1..C with
+0 meaning "missing" (the reference encodes missing as NaN in a double array).
+Binary data recoded by the response-matrix layer lands in {1, 2}: the
+reference's raw {-1, +1} coding would index out of bounds in its own C++
+likelihood (see SURVEY.md section 7.3 quirk 1), so we deliberately recode.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "LL_FLOOR",
+    "ordinal_ll_terms",
+    "ordinal_ll",
+    "delta_to_threshold",
+    "threshold_to_delta",
+]
+
+# Numerical floor inside log(Phi - Phi + floor); matches the reference.
+LL_FLOOR = 1e-6
+
+
+def _norm_cdf(z: jnp.ndarray) -> jnp.ndarray:
+    # Phi via erf keeps everything on the VPU; handles +-inf exactly.
+    return 0.5 * (1.0 + jax.lax.erf(z * jnp.asarray(0.7071067811865476, z.dtype)))
+
+
+def ordinal_ll_terms(g: jnp.ndarray, y: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Per-response log-likelihood terms, 0 where missing.
+
+    Args:
+      g: ``(..., n, m)`` latent values ``f + mu``.
+      y: ``(..., n, m)`` int32 categories in 1..C, 0 = missing.
+      thresholds: ``(..., m, C+1)`` cutpoints with -inf / +inf endpoints,
+        broadcastable against ``g``'s batch axes.
+
+    Returns:
+      ``(..., n, m)`` array of ``log(Phi(t_y - g) - Phi(t_{y-1} - g) + 1e-6)``
+      with exact zeros at missing entries.
+    """
+    ysafe = jnp.maximum(y, 1)
+    # thresholds: (..., m, C+1) -> broadcast over the n axis -> (..., 1, m, C+1)
+    thr = thresholds[..., None, :, :]
+    idx_hi = ysafe[..., None]
+    z2 = jnp.take_along_axis(thr, idx_hi, axis=-1)[..., 0]
+    z1 = jnp.take_along_axis(thr, idx_hi - 1, axis=-1)[..., 0]
+    p = _norm_cdf(z2 - g) - _norm_cdf(z1 - g)
+    terms = jnp.log(p + jnp.asarray(LL_FLOOR, g.dtype))
+    return jnp.where(y > 0, terms, jnp.zeros((), g.dtype))
+
+
+def ordinal_ll(
+    g: jnp.ndarray,
+    y: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    axis=None,
+) -> jnp.ndarray:
+    """Masked ordinal-probit log-likelihood summed over ``axis``.
+
+    Equivalent to the reference's ``ll_bar_sparse`` summed over observed
+    entries (src/log-likelihood.cpp:50-64), evaluated densely with a mask.
+    """
+    terms = ordinal_ll_terms(g, y, thresholds)
+    return jnp.sum(terms, axis=axis)
+
+
+def delta_to_threshold(deltas: jnp.ndarray) -> jnp.ndarray:
+    """Unconstrained deltas -> monotone cutpoints with +-inf endpoints.
+
+    t_0 = -inf, t_1 = delta_0, t_{c+1} = t_c + exp(delta_c), t_C = +inf
+    (reference: src/log-likelihood.cpp:66-77). Vectorized over leading axes.
+
+    Args:
+      deltas: ``(..., C-1)``.
+    Returns:
+      ``(..., C+1)``.
+    """
+    dtype = deltas.dtype
+    first = deltas[..., :1]
+    if deltas.shape[-1] > 1:
+        inner = first + jnp.cumsum(jnp.exp(deltas[..., 1:]), axis=-1)
+        finite = jnp.concatenate([first, inner], axis=-1)
+    else:
+        finite = first
+    neg = jnp.full(first.shape, -jnp.inf, dtype)
+    pos = jnp.full(first.shape, jnp.inf, dtype)
+    return jnp.concatenate([neg, finite, pos], axis=-1)
+
+
+def threshold_to_delta(thresholds: jnp.ndarray) -> jnp.ndarray:
+    """Monotone cutpoints -> unconstrained deltas (inverse of the above).
+
+    delta_0 = t_1, delta_c = log(t_{c+1} - t_c) for c >= 1
+    (reference: src/log-likelihood.cpp:79-88).
+
+    Args:
+      thresholds: ``(..., C+1)`` including the +-inf endpoints.
+    Returns:
+      ``(..., C-1)``.
+    """
+    finite = thresholds[..., 1:-1]  # (..., C-1)
+    first = finite[..., :1]
+    if finite.shape[-1] > 1:
+        gaps = jnp.log(finite[..., 1:] - finite[..., :-1])
+        return jnp.concatenate([first, gaps], axis=-1)
+    return first

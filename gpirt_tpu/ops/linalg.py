@@ -1,0 +1,64 @@
+"""Batched dense linear algebra helpers for the GP machinery.
+
+All conditional-GP math is kept in "whitened product" form — two triangular
+solves against the Cholesky factor, never an explicit ``K^{-1}`` — because the
+forward error of each trisolve scales with cond(L) = sqrt(cond(K)), which keeps
+float32 viable on TPU for Gram matrices whose direct inverse would be
+hopeless. (The reference runs everything in float64 on CPU and can afford
+``double_solve``, src/cholesky-cache.cpp:4-9; we expose the same composition.)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "chol_with_jitter",
+    "tri_solve",
+    "double_solve",
+    "host_cholesky_f64",
+]
+
+
+def chol_with_jitter(gram: jnp.ndarray, jitter: float) -> jnp.ndarray:
+    """Lower Cholesky of ``gram + jitter*I`` over trailing (n, n) axes.
+
+    ``jnp.linalg.cholesky`` batches over leading axes natively, so a stack of
+    per-horizon factors is one fused call (the reference loops horizons and
+    recomputes these twice per iteration, src/draw-f.cpp:59 +
+    src/gpirtMCMC.cpp:314; we compute once).
+    """
+    n = gram.shape[-1]
+    eye = jnp.eye(n, dtype=gram.dtype)
+    return jnp.linalg.cholesky(gram + jitter * eye)
+
+
+def tri_solve(L: jnp.ndarray, b: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:
+    """Solve ``L x = b`` (or ``L^T x = b`` when trans) with lower-tri ``L``.
+
+    Batched over leading axes of both arguments.
+    """
+    return jax.lax.linalg.triangular_solve(
+        L, b, left_side=True, lower=True, transpose_a=trans
+    )
+
+
+def double_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """``(L L^T)^{-1} b`` via two triangular solves (reference double_solve)."""
+    return tri_solve(L, tri_solve(L, b), trans=True)
+
+
+def host_cholesky_f64(gram: np.ndarray, jitter: float, dtype=np.float32) -> np.ndarray:
+    """One-time host-side float64 Cholesky, cast to the compute dtype.
+
+    Used for setup-time factorizations of severely ill-conditioned Grams
+    (e.g. the 1001-point theta* grid Gram, whose smooth-SE spectrum decays
+    past float32 range). numpy always has float64 regardless of the JAX x64
+    flag, and a one-time O(N^3) host factorization is off the hot path.
+    """
+    gram = np.asarray(gram, np.float64)
+    n = gram.shape[-1]
+    L = np.linalg.cholesky(gram + jitter * np.eye(n))
+    return L.astype(dtype)
