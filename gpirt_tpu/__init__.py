@@ -12,4 +12,31 @@ __version__ = "0.1.0"
 
 from gpirt_tpu import ops
 
-__all__ = ["ops", "__version__"]
+__all__ = [
+    "ops",
+    "__version__",
+    "gpirt_mcmc",
+    "recover_fstar",
+    "response_matrix",
+    "is_response_matrix",
+    "as_response_matrix",
+]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import gpirt_tpu` light (no model/api modules until
+    # first use) while exposing the full reference-parity surface.
+    if name in ("gpirt_mcmc", "recover_fstar", "default_thresholds"):
+        from gpirt_tpu import api
+
+        return getattr(api, name)
+    if name in ("response_matrix", "is_response_matrix", "as_response_matrix",
+                "ResponseMatrix", "encode_categories"):
+        from gpirt_tpu.utils import response
+
+        return getattr(response, name)
+    if name in ("models", "utils", "parallel", "api"):
+        import importlib
+
+        return importlib.import_module(f"gpirt_tpu.{name}")
+    raise AttributeError(f"module 'gpirt_tpu' has no attribute {name!r}")

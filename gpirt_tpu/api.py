@@ -1,0 +1,376 @@
+"""Public user API mirroring the reference R surface.
+
+``gpirt_mcmc`` reproduces the capabilities of R's ``gpirtMCMC()``
+(R/gpirtMCMC.R:98-167): data coercion via vote codes, prior and cutpoint
+defaults, multi-chain runs, thinning/burn-in, store_f / store_fstar memory
+control with the reference's memory-estimate printout, and seeded
+reproducibility. ``recover_fstar`` reproduces R's ``recover_fstar()``
+(R/recover_fstar.R:36-46 -> src/recover_fstar.cpp): re-running draw_f +
+draw_fstar once from a stored f draw under a user seed — a storage-saving
+mechanism for IRF reconstruction.
+
+Chains map over devices (see gpirt_tpu.parallel) instead of the reference's
+sequential R loop (R/gpirtMCMC.R:112).
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import special as _sps
+
+from gpirt_tpu.models.config import GPIRTConfig, make_constants, THETA_LO, THETA_HI
+from gpirt_tpu.models.gibbs import (
+    GPIRTState,
+    draw_f as _draw_f_block,
+    draw_fstar as _draw_fstar_block,
+    combined_theta_chol,
+    compute_mu,
+    compute_mu_star,
+    snap_indices,
+    theta_chol,
+    theta_from_indices,
+)
+from gpirt_tpu.models.sampler import run_chain, sample_schedule, memory_estimate_mb
+from gpirt_tpu.utils.response import (
+    DEFAULT_VOTE_CODES,
+    as_response_matrix,
+    encode_categories,
+)
+
+__all__ = ["gpirt_mcmc", "recover_fstar", "default_thresholds"]
+
+
+def _qnorm(p: float) -> float:
+    return float(_sps.ndtri(p))
+
+
+def default_thresholds(C: int, m: int, horizon: int) -> np.ndarray:
+    """Equal-prior-mass cutpoints at qnorm(i/C) (R/gpirtMCMC.R:137-155).
+
+    Returns (H, m, C+1) with -inf/+inf endpoints. (The reference's own code
+    for this references variables that are undefined for plain-matrix input —
+    SURVEY.md 7.3 quirk 2; this is the intended behavior, applied uniformly.)
+    """
+    thr = np.zeros((horizon, m, C + 1))
+    thr[..., 0] = -np.inf
+    thr[..., C] = np.inf
+    for i in range(1, C):
+        thr[..., i] = _qnorm(i / C)
+    return thr
+
+
+def _as_cube(data) -> np.ndarray:
+    """(n, m) or (n, m, H) float array with NaN for missing."""
+    arr = np.asarray(data, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3:
+        raise ValueError(f"data must be (n, m) or (n, m, H); got {arr.shape}")
+    return arr
+
+
+def gpirt_mcmc(
+    data,
+    sample_iterations: int,
+    burn_iterations: int,
+    THIN: int = 1,
+    CHAIN: int = 1,
+    vote_codes: Optional[Dict[str, Sequence]] = DEFAULT_VOTE_CODES,
+    beta_prior_means: Optional[np.ndarray] = None,
+    beta_prior_sds: Optional[np.ndarray] = None,
+    theta_prior_means: Optional[np.ndarray] = None,
+    theta_prior_sds: Optional[np.ndarray] = None,
+    theta_os: float = 1.0,
+    theta_ls: float = 10.0,
+    KERNEL: str = "Matern",
+    theta_init: Optional[np.ndarray] = None,
+    thresholds: Optional[np.ndarray] = None,
+    SEED: int = 1,
+    constant_IRF: int = 0,
+    store_f: bool = False,
+    store_fstar: bool = False,
+    *,
+    dtype: str = "float32",
+    grid_size: int = 1001,
+    fstar_method: str = "matheron",
+    jitter: Optional[float] = None,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    verbose: bool = True,
+) -> List[Dict[str, np.ndarray]]:
+    """Posterior samples for the GP-IRT model. Returns one dict per chain.
+
+    Argument semantics follow the reference (R/gpirtMCMC.R:98-109):
+      * ``vote_codes`` non-None coerces data through the response-matrix
+        recode (binary path); None means the data is already ordinal-coded
+        1..C with NaN missing.
+      * default priors: beta N(0, 3^2) per coefficient/item; theta prior
+        means/sds default to zeros — matching the reference *code* (its docs
+        say "ones" but the code builds zeros, R/gpirtMCMC.R:105 vs :30;
+        SURVEY.md 7.3 quirk 6). With all-zero sds the default theta_init is
+        exactly 0 for everyone.
+      * per-chain seeds SEED, SEED+1, ... (R/gpirtMCMC.R:114).
+
+    TPU-specific keywords: ``dtype`` (float32 on TPU; float64 for CPU parity
+    runs), ``fstar_method`` ("matheron" fast path / "chol" reference-style),
+    ``mesh`` to spread chains over devices.
+
+    Returned dicts use reference-like layouts:
+      theta (S, n, H); beta (S, 3, m, H); f (S, n, m, H) if stored;
+      fstar (S, N, m, H) if stored; threshold (S, m, C+1, H); ll (S,).
+    """
+    if vote_codes is not None:
+        data = as_response_matrix(_strip_h(data), vote_codes, verbose=verbose)
+    cube = _as_cube(data)
+    y, C, _ = encode_categories(cube)  # (H, n, m)
+    H, n, m = y.shape
+
+    if beta_prior_means is None:
+        beta_prior_means = np.zeros((3, m))
+    if beta_prior_sds is None:
+        beta_prior_sds = np.full((3, m), 3.0)
+    if theta_prior_means is None:
+        theta_prior_means = np.zeros((2, n))
+    if theta_prior_sds is None:
+        theta_prior_sds = np.zeros((2, n))
+    beta_prior_means = np.broadcast_to(np.asarray(beta_prior_means, np.float64), (3, m))
+    beta_prior_sds = np.broadcast_to(np.asarray(beta_prior_sds, np.float64), (3, m))
+    theta_prior_means = np.broadcast_to(np.asarray(theta_prior_means, np.float64), (2, n))
+    theta_prior_sds = np.broadcast_to(np.asarray(theta_prior_sds, np.float64), (2, n))
+
+    config = GPIRTConfig(
+        n=n,
+        m=m,
+        horizon=H,
+        C=C,
+        grid_size=grid_size,
+        theta_os=float(theta_os),
+        theta_ls=float(theta_ls),
+        kernel=KERNEL,
+        constant_IRF=bool(constant_IRF),
+        dtype=dtype,
+        fstar_method=fstar_method,
+        jitter=jitter if jitter is not None else (1e-6 if dtype == "float64" else 1e-5),
+    )
+    consts = make_constants(
+        config, beta_prior_means, beta_prior_sds, theta_prior_means, theta_prior_sds
+    )
+
+    if thresholds is None:
+        thresholds_init = default_thresholds(C, m, H)
+    else:
+        thresholds_init = _coerce_thresholds(np.asarray(thresholds, np.float64), m, C, H)
+
+    sched = sample_schedule(sample_iterations, burn_iterations, THIN)
+    if verbose:
+        _print_memory_estimate(
+            n, m, H, C, sched.n_samples, sample_iterations, grid_size,
+            store_f, store_fstar,
+        )
+
+    results: List[Dict[str, np.ndarray]] = []
+    for chain in range(CHAIN):
+        seed = SEED + chain
+        key = jax.random.key(seed)
+        if theta_init is None:
+            # theta_init ~ N(prior_mean, prior_sd) drawn once, copied across
+            # sessions (R/gpirtMCMC.R:121-134). Default sds are zero, so this
+            # is exactly the prior means.
+            k_init = jax.random.fold_in(key, 0xA11CE)
+            z = np.asarray(jax.random.normal(k_init, (n,), jnp.float32), np.float64)
+            t0 = theta_prior_means[0] + theta_prior_sds[0] * z
+            th_init = np.broadcast_to(t0[None, :], (H, n))
+        else:
+            ti = np.asarray(theta_init, np.float64)
+            if ti.ndim == 1:
+                ti = ti[:, None]
+            th_init = np.ascontiguousarray(ti.T)  # (H, n)
+        th_init = np.clip(th_init, THETA_LO, THETA_HI)
+
+        draws = run_chain(
+            key,
+            jnp.asarray(y),
+            th_init,
+            thresholds_init,
+            consts,
+            config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN,
+            store_f=store_f,
+            store_fstar=store_fstar,
+        )
+        results.append(_to_reference_layout(draws))
+    return results
+
+
+def _strip_h(data):
+    arr = np.asarray(data)
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        return arr[:, :, 0]
+    return data
+
+
+def _coerce_thresholds(thr: np.ndarray, m: int, C: int, H: int) -> np.ndarray:
+    """Accept (C+1,), (m, C+1), or (m, C+1, H) and return (H, m, C+1)."""
+    if thr.ndim == 1:
+        out = np.broadcast_to(thr, (H, m, thr.size))
+    elif thr.ndim == 2:
+        out = np.broadcast_to(thr[None], (H,) + thr.shape)
+    elif thr.ndim == 3:
+        out = np.ascontiguousarray(np.moveaxis(thr, 2, 0))
+    else:
+        raise ValueError(f"bad thresholds shape {thr.shape}")
+    if out.shape != (H, m, C + 1):
+        raise ValueError(f"thresholds shape {thr.shape} incompatible with "
+                         f"(m={m}, C+1={C+1}, H={H})")
+    return out
+
+
+def _to_reference_layout(draws: Dict[str, jnp.ndarray]) -> Dict[str, np.ndarray]:
+    """Internal (S, H, ...) layouts -> reference-like trailing-horizon layouts."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in draws.items():
+        a = np.asarray(v)
+        if k == "ll":
+            out[k] = a
+        elif k == "theta":  # (S,H,n) -> (S,n,H)
+            out[k] = np.moveaxis(a, 1, 2)
+        elif k == "beta":  # (S,H,3,m) -> (S,3,m,H)
+            out[k] = np.moveaxis(a, 1, 3)
+        elif k == "threshold":  # (S,H,m,C+1) -> (S,m,C+1,H)
+            out[k] = np.moveaxis(a, 1, 3)
+        elif k in ("f", "fstar"):  # (S,H,n,m) -> (S,n,m,H)
+            out[k] = np.moveaxis(a, 1, 3)
+        else:
+            out[k] = a
+    return out
+
+
+def _print_memory_estimate(n, m, H, C, n_samples, sample_iterations, grid_size,
+                           store_f, store_fstar):
+    est = memory_estimate_mb(n, m, H, C, n_samples, grid_size, store_f, store_fstar)
+    e = sys.stderr
+    print("\n=== MEMORY ESTIMATE ===", file=e)
+    print(f"Samples to store: {n_samples} (thinned from {sample_iterations})", file=e)
+    print(f"Theta samples:     {est['theta']:.3f} MB", file=e)
+    print(f"Beta samples:      {est['beta']:.3f} MB", file=e)
+    print(f"F samples:         {est['f']:.3f} MB "
+          f"({'ENABLED' if store_f else 'DISABLED - will skip'})", file=e)
+    print(f"Fstar samples:     {est['fstar']:.3f} MB "
+          f"({'ENABLED' if store_fstar else 'DISABLED - will skip'})", file=e)
+    print(f"Threshold samples: {est['threshold']:.3f} MB", file=e)
+    print(f"TOTAL ESTIMATED:   {est['total']:.3f} MB ({est['total']/1024:.3f} GB)", file=e)
+    if est["total"] > 10000:
+        print("\nWARNING: Estimated memory usage exceeds 10 GB!", file=e)
+        print("Consider: (1) Increase THIN parameter, (2) Reduce sample_iterations",
+              file=e)
+        print("          (3) Set store_f=False, (4) Set store_fstar=False\n", file=e)
+    print("========================\n", file=e)
+
+
+def recover_fstar(
+    seed: int,
+    f: np.ndarray,
+    data,
+    theta: np.ndarray,
+    beta: np.ndarray,
+    thresholds: np.ndarray,
+    beta_prior_means: Optional[np.ndarray] = None,
+    beta_prior_sds: Optional[np.ndarray] = None,
+    constant_IRF: int = 0,
+    *,
+    dtype: str = "float32",
+    grid_size: int = 1001,
+    mean_degree: int = 1,
+) -> Dict[str, np.ndarray]:
+    """Reconstruct fstar from a stored f draw under a seed, without having
+    stored fstar during sampling (reference src/recover_fstar.cpp:8-94).
+
+    Note the reference uses a LINEAR (2-column) parametric mean here even
+    though the sampler uses a quadratic one (SURVEY.md 7.3 quirk 3);
+    ``mean_degree=1`` reproduces that, ``mean_degree=2`` fixes it.
+
+    Args:
+      f: (n, m) or (n, m, H) stored latent draw.
+      data: responses, same coding as passed to the sampler (ordinal 1..C,
+        NaN missing) — only the missingness pattern matters here.
+      theta: (n,) or (n, H); beta: (p, m) or (p, m, H) with p >= mean_degree+1;
+      thresholds: (m, C+1) or (m, C+1, H).
+
+    Returns {"fstar": (N, m, H)}.
+    """
+    cube = _as_cube(data)
+    y, C, _ = encode_categories(cube)
+    H, n, m = y.shape
+
+    fa = np.asarray(f, np.float64)
+    if fa.ndim == 2:
+        fa = fa[:, :, None]
+    f_int = np.moveaxis(fa, 2, 0)  # (H, n, m)
+
+    ta = np.asarray(theta, np.float64)
+    if ta.ndim == 1:
+        ta = ta[:, None]
+    theta_int = np.ascontiguousarray(ta.T)  # (H, n)
+
+    ba = np.asarray(beta, np.float64)
+    if ba.ndim == 2:
+        ba = ba[:, :, None]
+    beta_int = np.moveaxis(ba, 2, 0)  # (H, p, m)
+    p = mean_degree + 1
+    beta_mean = np.zeros((H, 3, m))
+    beta_mean[:, :p] = beta_int[:, :p]
+
+    thr = _coerce_thresholds(np.asarray(thresholds, np.float64), m, C, H)
+
+    if beta_prior_means is None:
+        beta_prior_means = np.zeros((3, m))
+    if beta_prior_sds is None:
+        beta_prior_sds = np.full((3, m), 3.0)
+    beta_prior_means = np.broadcast_to(np.asarray(beta_prior_means, np.float64), (3, m))
+    beta_prior_sds = np.broadcast_to(np.asarray(beta_prior_sds, np.float64), (3, m))
+
+    config = GPIRTConfig(
+        n=n, m=m, horizon=H, C=C, grid_size=grid_size,
+        constant_IRF=bool(constant_IRF), dtype=dtype,
+        jitter=1e-6 if dtype == "float64" else 1e-5,
+        mean_degree=mean_degree,
+    )
+    consts = make_constants(
+        config, beta_prior_means, beta_prior_sds, np.zeros((2, n)), np.zeros((2, n))
+    )
+
+    dt = config.jdtype
+    theta_j = jnp.asarray(theta_int, dt)
+    theta_idx = snap_indices(theta_j, config)
+    beta_j = jnp.asarray(beta_mean, dt)
+    if mean_degree == 1:
+        # linear mean: zero out the quadratic column of X by zeroing beta[2]
+        beta_j = beta_j.at[:, 2].set(0.0)
+    mu = compute_mu(theta_j, beta_j)
+    mu_star = compute_mu_star(consts, beta_j)
+
+    state = GPIRTState(
+        theta_idx=theta_idx,
+        f=jnp.asarray(f_int, dt),
+        beta=beta_j,
+        thresholds=jnp.asarray(thr, dt),
+        fstar=jnp.zeros((H, grid_size, m), dt),
+    )
+    key = jax.random.key(seed)
+    k_f, k_fs = jax.random.split(key)
+    L = None
+    L_combined = None
+    if config.constant_IRF:
+        L_combined = combined_theta_chol(theta_idx, consts, config)
+    else:
+        L = theta_chol(theta_idx, consts, config)
+    y_j = jnp.asarray(y)
+    f_new = _draw_f_block(k_f, state, L, L_combined, mu, y_j, config)
+    fstar = _draw_fstar_block(k_fs, f_new, theta_idx, L, mu_star, consts, config)
+    return {"fstar": np.moveaxis(np.asarray(fstar), 0, 2)}

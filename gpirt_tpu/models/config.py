@@ -5,6 +5,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -68,6 +69,7 @@ class GPIRTConfig:
         return (THETA_HI - THETA_LO) / (self.grid_size - 1)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class GPIRTConstants:
     """Per-run device constants, precomputed once at setup time.

@@ -1,0 +1,99 @@
+"""Multi-chain parallelism over a TPU device mesh.
+
+The reference runs chains sequentially in R (R/gpirtMCMC.R:112). Here chains
+are a batch axis: ``vmap`` inside one chip, ``shard_map`` across a
+``jax.sharding.Mesh`` so each device runs its shard of chains with zero
+cross-device traffic during sampling (MCMC chains are embarrassingly
+parallel; the only cross-chain computation is pooled diagnostics afterwards).
+
+shard_map (rather than plain jit-with-sharded-inputs) is deliberate: each
+device's chains run their ESS while-loops independently — no global
+lock-step synchronization of rejection rounds across devices.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
+from gpirt_tpu.models.sampler import run_chain
+
+try:  # jax>=0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+__all__ = ["run_chains", "make_chain_mesh", "chain_keys"]
+
+
+def make_chain_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
+    """A 1-D mesh over the first ``n_devices`` devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def chain_keys(seed: int, n_chains: int) -> jax.Array:
+    """Per-chain keys seeded SEED, SEED+1, ... (R/gpirtMCMC.R:114 semantics)."""
+    return jax.vmap(lambda s: jax.random.key(s))(seed + jnp.arange(n_chains))
+
+
+def run_chains(
+    keys: jax.Array,
+    y: jnp.ndarray,
+    theta_init: jnp.ndarray,
+    thresholds_init: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+    *,
+    sample_iterations: int,
+    burn_iterations: int,
+    thin: int = 1,
+    store_f: bool = False,
+    store_fstar: bool = False,
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
+) -> Dict[str, jnp.ndarray]:
+    """Run ``len(keys)`` chains; returns draws with a leading chains axis.
+
+    Data, inits and GP constants are replicated; the chains axis is sharded
+    over ``mesh`` when given (len(keys) must divide by mesh size). Chain k's
+    stochasticity comes entirely from ``keys[k]`` (initial values are drawn
+    from the priors per chain, like the reference's per-chain set.seed).
+    """
+    n_chains = keys.shape[0]
+    theta_init = jnp.asarray(theta_init, config.jdtype)
+    thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
+
+    def one_chain(key, y, theta_init, thresholds_init, consts):
+        return run_chain(
+            key, y, theta_init, thresholds_init, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=thin, store_f=store_f, store_fstar=store_fstar,
+        )
+
+    vmapped = jax.vmap(one_chain, in_axes=(0, None, None, None, None))
+
+    if mesh is None:
+        return jax.jit(vmapped)(keys, y, theta_init, thresholds_init, consts)
+
+    if n_chains % mesh.devices.size != 0:
+        raise ValueError(
+            f"{n_chains} chains do not divide evenly over {mesh.devices.size} devices"
+        )
+
+    sharded = shard_map(
+        vmapped,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return jax.jit(sharded)(keys, y, theta_init, thresholds_init, consts)

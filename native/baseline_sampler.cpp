@@ -1,0 +1,409 @@
+// Single-core CPU baseline: a faithful reference-equivalent GP-IRT sampler.
+//
+// BASELINE.md requires the single-core Rcpp number to be measured empirically
+// ("run the reference or a faithful CPU port"). R is not installed in this
+// image, so this is a fresh single-threaded C++ implementation of the same
+// per-iteration pipeline the reference executes (src/gpirtMCMC.cpp:261-356):
+//   chol(K(theta,theta)) -> per-item ESS redraw of f -> full-grid fstar via
+//   1001x1001 posterior Cholesky (src/draw-fstar.cpp:26-36) -> per-respondent
+//   ESS of theta with grid lookup -> f := fstar rows -> per-item ESS of beta
+//   -> per-item ESS of cutpoints -> total ll.
+// Linear algebra goes through the system netlib BLAS/LAPACK (the default R
+// linkage), so the timing is representative of the Armadillo-backed original
+// rather than of naive loops. No reference code was copied.
+//
+// Usage: baseline_sampler [iters] [data_file]
+//   data_file: text; first line "n m C", then n rows of m ints (0 = missing).
+//   Prints one JSON line: {"sec_per_iter": ..., "iters": ..., "ll": ...}
+
+#include <algorithm>
+#include <chrono>
+#include <cmath>
+#include <cstdio>
+#include <cstdlib>
+#include <fstream>
+#include <random>
+#include <string>
+#include <vector>
+
+extern "C" {
+void dpotrf_(const char* uplo, const int* n, double* a, const int* lda, int* info);
+void dtrsm_(const char* side, const char* uplo, const char* transa, const char* diag,
+            const int* m, const int* n, const double* alpha, const double* a,
+            const int* lda, double* b, const int* ldb);
+void dtrsv_(const char* uplo, const char* trans, const char* diag, const int* n,
+            const double* a, const int* lda, double* x, const int* incx);
+void dtrmv_(const char* uplo, const char* trans, const char* diag, const int* n,
+            const double* a, const int* lda, double* x, const int* incx);
+void dgemm_(const char* ta, const char* tb, const int* m, const int* n, const int* k,
+            const double* alpha, const double* a, const int* lda, const double* b,
+            const int* ldb, const double* beta, double* c, const int* ldc);
+void dgemv_(const char* trans, const int* m, const int* n, const double* alpha,
+            const double* a, const int* lda, const double* x, const int* incx,
+            const double* beta, double* y, const int* incy);
+}
+
+namespace {
+
+constexpr double kTwoPi = 6.283185307179586;
+constexpr double kJitter = 1e-6;
+constexpr int kGrid = 1001;
+
+double pnorm(double z) { return 0.5 * std::erfc(-z * 0.7071067811865476); }
+
+// ICC kernel: SE + linear + const + quadratic with prior sds (3,3,3)
+double kval(double a, double b) {
+  const double sd = 3.0;
+  double d = a - b;
+  return std::exp(-0.5 * d * d) + a * (sd * sd) * b + sd * sd +
+         (a * sd * b) * (a * sd * b);
+}
+
+struct Mat {  // column-major dense matrix
+  int r = 0, c = 0;
+  std::vector<double> v;
+  Mat() = default;
+  Mat(int r_, int c_) : r(r_), c(c_), v(size_t(r_) * c_, 0.0) {}
+  double& operator()(int i, int j) { return v[size_t(j) * r + i]; }
+  double operator()(int i, int j) const { return v[size_t(j) * r + i]; }
+  double* col(int j) { return v.data() + size_t(j) * r; }
+  const double* col(int j) const { return v.data() + size_t(j) * r; }
+};
+
+void cholesky_inplace(Mat& a) {  // lower factor via dpotrf
+  int info = 0;
+  dpotrf_("L", &a.r, a.v.data(), &a.r, &info);
+  if (info != 0) {
+    std::fprintf(stderr, "dpotrf failed: %d\n", info);
+    std::exit(2);
+  }
+  for (int j = 0; j < a.c; ++j)  // zero the upper triangle
+    for (int i = 0; i < j; ++i) a(i, j) = 0.0;
+}
+
+struct Rng {
+  std::mt19937 gen;
+  std::normal_distribution<double> nd{0.0, 1.0};
+  std::uniform_real_distribution<double> ud{0.0, 1.0};
+  double normal() { return nd(gen); }
+  double uniform() { return ud(gen); }
+  double uniform(double lo, double hi) { return lo + (hi - lo) * ud(gen); }
+};
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  int iters = argc > 1 ? std::atoi(argv[1]) : 10;
+  std::string path = argc > 2 ? argv[2] : "native/senate_y.txt";
+
+  std::ifstream in(path);
+  if (!in) {
+    std::fprintf(stderr, "cannot open %s\n", path.c_str());
+    return 1;
+  }
+  int n, m, C;
+  in >> n >> m >> C;
+  std::vector<std::vector<int>> y(n, std::vector<int>(m));
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < m; ++j) in >> y[i][j];
+
+  // observed index lists per item and per respondent
+  std::vector<std::vector<int>> obs_row(m), obs_cat(m), items_of(n), cats_of(n);
+  for (int j = 0; j < m; ++j)
+    for (int i = 0; i < n; ++i)
+      if (y[i][j] > 0) {
+        obs_row[j].push_back(i);
+        obs_cat[j].push_back(y[i][j]);
+      }
+  for (int i = 0; i < n; ++i)
+    for (int j = 0; j < m; ++j)
+      if (y[i][j] > 0) {
+        items_of[i].push_back(j);
+        cats_of[i].push_back(y[i][j]);
+      }
+
+  std::vector<double> grid(kGrid);
+  for (int k = 0; k < kGrid; ++k) grid[k] = -5.0 + 0.01 * k;
+
+  Rng rng;
+  rng.gen.seed(1);
+
+  // state
+  std::vector<double> theta(n);
+  for (int i = 0; i < n; ++i) theta[i] = -2.0 + 4.0 * i / (n - 1);
+  Mat f(n, m), beta(3, m), thr(m, C + 1);
+  for (int j = 0; j < m; ++j) {
+    thr(j, 0) = -INFINITY;
+    thr(j, C) = INFINITY;
+    for (int c = 1; c < C; ++c) {
+      // qnorm(c/C) via bisection on pnorm (setup only)
+      double lo = -10, hi = 10, p = double(c) / C;
+      for (int it = 0; it < 80; ++it) {
+        double mid = 0.5 * (lo + hi);
+        (pnorm(mid) < p ? lo : hi) = mid;
+      }
+      thr(j, c) = 0.5 * (lo + hi);
+    }
+    for (int p = 0; p < 3; ++p) beta(p, j) = 3.0 * rng.normal();
+  }
+
+  const int N = kGrid;
+  Mat Kss(N, N);  // grid Gram (built once; the reference rebuilds it per
+                  // iteration — computing it once is *generous* to the baseline)
+  for (int b = 0; b < N; ++b)
+    for (int a = 0; a < N; ++a) Kss(a, b) = kval(grid[a], grid[b]);
+
+  Mat L(n, n), kstar(n, N), Kpost(N, N), fstar(N, m), mu(n, m), mustar(N, m);
+  Mat X(n, 3), Xs(N, 3);
+  std::vector<double> z(std::max(n, N)), buf(std::max(n, N));
+
+  auto rebuild_chol = [&]() {
+    for (int b = 0; b < n; ++b)
+      for (int a = 0; a < n; ++a) L(a, b) = kval(theta[a], theta[b]);
+    for (int a = 0; a < n; ++a) L(a, a) += kJitter;
+    cholesky_inplace(L);
+  };
+  auto rebuild_mu = [&]() {
+    for (int i = 0; i < n; ++i) {
+      X(i, 0) = 1.0;
+      X(i, 1) = theta[i];
+      X(i, 2) = theta[i] * theta[i];
+    }
+    const double one = 1.0, zero = 0.0;
+    const int three = 3;
+    dgemm_("N", "N", &n, &m, &three, &one, X.v.data(), &n, beta.v.data(), &three,
+           &zero, mu.v.data(), &n);
+    dgemm_("N", "N", &N, &m, &three, &one, Xs.v.data(), &N, beta.v.data(), &three,
+           &zero, mustar.v.data(), &N);
+  };
+
+  for (int k = 0; k < N; ++k) {
+    Xs(k, 0) = 1.0;
+    Xs(k, 1) = grid[k];
+    Xs(k, 2) = grid[k] * grid[k];
+  }
+
+  rebuild_chol();
+  // init f ~ GP prior
+  for (int j = 0; j < m; ++j) {
+    for (int i = 0; i < n; ++i) z[i] = rng.normal();
+    const int one_i = 1;
+    dtrmv_("L", "N", "N", &n, L.v.data(), &n, z.data(), &one_i);
+    std::copy(z.begin(), z.begin() + n, f.col(j));
+  }
+  rebuild_mu();
+
+  double ll_total = 0.0;
+  auto t0 = std::chrono::steady_clock::now();
+
+  std::vector<double> g(n), gp(n), nu(std::max(n, N));
+  std::vector<double> alpha(n), mean(N);
+
+  for (int iter = 0; iter < iters; ++iter) {
+    rng.gen.seed(1000 + iter);  // deterministic per-iteration reseed
+    rebuild_chol();
+
+    // ---- draw_f: per-item ESS over the n-dim GP column
+    const int one_i = 1;
+    for (int j = 0; j < m; ++j) {
+      for (int i = 0; i < n; ++i) nu[i] = rng.normal();
+      dtrmv_("L", "N", "N", &n, L.v.data(), &n, nu.data(), &one_i);
+      for (int i = 0; i < n; ++i) g[i] = f(i, j) + mu(i, j);
+      double trow[32];
+      for (int c = 0; c <= C; ++c) trow[c] = thr(j, c);
+      double logy = 0.0;
+      for (size_t k = 0; k < obs_row[j].size(); ++k) {
+        int i = obs_row[j][k], c = obs_cat[j][k];
+        double p = pnorm(trow[c] - g[i]) - pnorm(trow[c - 1] - g[i]);
+        logy += std::log(p + 1e-6);
+      }
+      logy += std::log(rng.uniform());
+      double emin = 0.0, emax = kTwoPi;
+      double eps = rng.uniform(0.0, kTwoPi);
+      emin = eps - kTwoPi;
+      while (true) {
+        double ce = std::cos(eps), se = std::sin(eps);
+        double llp = 0.0;
+        for (size_t k = 0; k < obs_row[j].size(); ++k) {
+          int i = obs_row[j][k], c = obs_cat[j][k];
+          double fp = f(i, j) * ce + nu[i] * se + mu(i, j);
+          double p = pnorm(trow[c] - fp) - pnorm(trow[c - 1] - fp);
+          llp += std::log(p + 1e-6);
+        }
+        if (llp > logy) {
+          for (int i = 0; i < n; ++i) f(i, j) = f(i, j) * ce + nu[i] * se;
+          break;
+        }
+        (eps < 0 ? emin : emax) = eps;
+        eps = rng.uniform(emin, emax);
+      }
+    }
+
+    // ---- draw_fstar: full-grid conditional with N x N posterior Cholesky
+    for (int b = 0; b < N; ++b)
+      for (int a = 0; a < n; ++a) kstar(a, b) = kval(theta[a], grid[b]);
+    Mat tmp = kstar;  // L^{-1} kstar
+    const double done = 1.0;
+    dtrsm_("L", "L", "N", "N", &n, &N, &done, L.v.data(), &n, tmp.v.data(), &n);
+    Kpost = Kss;
+    const double neg1 = -1.0, pos1 = 1.0;
+    dgemm_("T", "N", &N, &N, &n, &neg1, tmp.v.data(), &n, tmp.v.data(), &n, &pos1,
+           Kpost.v.data(), &N);
+    for (int a = 0; a < N; ++a) Kpost(a, a) += kJitter;
+    cholesky_inplace(Kpost);  // now holds L_post
+    for (int j = 0; j < m; ++j) {
+      std::copy(f.col(j), f.col(j) + n, alpha.data());
+      dtrsv_("L", "N", "N", &n, L.v.data(), &n, alpha.data(), &one_i);
+      dtrsv_("L", "T", "N", &n, L.v.data(), &n, alpha.data(), &one_i);
+      const double zero = 0.0;
+      dgemv_("T", &n, &N, &done, kstar.v.data(), &n, alpha.data(), &one_i, &zero,
+             mean.data(), &one_i);
+      for (int a = 0; a < N; ++a) nu[a] = rng.normal();
+      dtrmv_("L", "N", "N", &N, Kpost.v.data(), &N, nu.data(), &one_i);
+      for (int a = 0; a < N; ++a) fstar(a, j) = mean[a] + mustar(a, j) + nu[a];
+    }
+
+    // ---- draw_theta: per-respondent scalar ESS with grid lookup
+    for (int i = 0; i < n; ++i) {
+      double told = theta[i];
+      auto ll_at = [&](double t) {
+        int idx = int(std::lround((t + 5.0) / 0.01));
+        idx = std::max(0, std::min(idx, N - 1));
+        double out = 0.0;
+        for (size_t k = 0; k < items_of[i].size(); ++k) {
+          int j = items_of[i][k], c = cats_of[i][k];
+          double gg = fstar(idx, j);
+          double p = pnorm(thr(j, c) - gg) - pnorm(thr(j, c - 1) - gg);
+          out += std::log(p + 1e-6);
+        }
+        return out;
+      };
+      double nu1 = rng.normal();  // prior sd 1 (default zero theta_prior_sds)
+      double logy = ll_at(told) + std::log(rng.uniform());
+      double emin = 0.0, emax = kTwoPi;
+      double eps = rng.uniform(0.0, kTwoPi);
+      emin = eps - kTwoPi;
+      while (true) {
+        double tp = told * std::cos(eps) + nu1 * std::sin(eps);
+        tp = std::max(-5.0, std::min(5.0, tp));
+        if (ll_at(tp) > logy) {
+          int idx = int(std::lround((tp + 5.0) / 0.01));
+          idx = std::max(0, std::min(idx, N - 1));
+          theta[i] = grid[idx];
+          break;
+        }
+        (eps < 0 ? emin : emax) = eps;
+        eps = rng.uniform(emin, emax);
+      }
+    }
+
+    // ---- f := fstar rows at new theta; mu* already has mu folded in fstar
+    for (int i = 0; i < n; ++i) {
+      int idx = int(std::lround((theta[i] + 5.0) / 0.01));
+      idx = std::max(0, std::min(idx, N - 1));
+      for (int j = 0; j < m; ++j) f(i, j) = fstar(idx, j) - mustar(idx, j);
+    }
+
+    // ---- draw_beta: per-item 3-dim ESS
+    for (int i = 0; i < n; ++i) {
+      X(i, 0) = 1.0;
+      X(i, 1) = theta[i];
+      X(i, 2) = theta[i] * theta[i];
+    }
+    for (int j = 0; j < m; ++j) {
+      if (obs_row[j].empty()) continue;
+      double trow[32];
+      for (int c = 0; c <= C; ++c) trow[c] = thr(j, c);
+      double nub[3];
+      for (int p = 0; p < 3; ++p) nub[p] = 3.0 * rng.normal();
+      auto ll_beta = [&](const double* b) {
+        double out = 0.0;
+        for (size_t k = 0; k < obs_row[j].size(); ++k) {
+          int i = obs_row[j][k], c = obs_cat[j][k];
+          double gg = f(i, j) + b[0] + b[1] * theta[i] + b[2] * theta[i] * theta[i];
+          double p = pnorm(trow[c] - gg) - pnorm(trow[c - 1] - gg);
+          out += std::log(p + 1e-6);
+        }
+        return out;
+      };
+      double b0[3] = {beta(0, j), beta(1, j), beta(2, j)};
+      double logy = ll_beta(b0) + std::log(rng.uniform());
+      double emin = 0.0, emax = kTwoPi;
+      double eps = rng.uniform(0.0, kTwoPi);
+      emin = eps - kTwoPi;
+      while (true) {
+        double bp[3];
+        double ce = std::cos(eps), se = std::sin(eps);
+        for (int p = 0; p < 3; ++p) bp[p] = b0[p] * ce + nub[p] * se;
+        if (ll_beta(bp) > logy) {
+          for (int p = 0; p < 3; ++p) beta(p, j) = bp[p];
+          break;
+        }
+        (eps < 0 ? emin : emax) = eps;
+        eps = rng.uniform(emin, emax);
+      }
+    }
+    rebuild_mu();
+
+    // ---- draw_threshold: per-item (C-1)-dim ESS in delta space
+    for (int j = 0; j < m; ++j) {
+      double trow[32];
+      for (int c = 0; c <= C; ++c) trow[c] = thr(j, c);
+      // delta from thresholds
+      double delta[32], nud[32];
+      delta[0] = trow[1];
+      for (int c = 1; c < C - 1; ++c) delta[c] = std::log(trow[c + 2 - 1] - trow[c]);
+      for (int c = 0; c < C - 1; ++c) nud[c] = rng.normal();
+      auto ll_thr = [&](const double* d) {
+        double t2[32];
+        t2[0] = -INFINITY;
+        t2[1] = d[0];
+        for (int c = 1; c < C - 1; ++c) t2[c + 1] = t2[c] + std::exp(d[c]);
+        t2[C] = INFINITY;
+        double out = 0.0;
+        for (size_t k = 0; k < obs_row[j].size(); ++k) {
+          int i = obs_row[j][k], c = obs_cat[j][k];
+          double gg = f(i, j) + mu(i, j);
+          double p = pnorm(t2[c] - gg) - pnorm(t2[c - 1] - gg);
+          out += std::log(p + 1e-6);
+        }
+        return out;
+      };
+      double logy = ll_thr(delta) + std::log(rng.uniform());
+      double emin = 0.0, emax = kTwoPi;
+      double eps = rng.uniform(0.0, kTwoPi);
+      emin = eps - kTwoPi;
+      while (true) {
+        double dp[32];
+        double ce = std::cos(eps), se = std::sin(eps);
+        for (int c = 0; c < C - 1; ++c) dp[c] = delta[c] * ce + nud[c] * se;
+        if (ll_thr(dp) > logy) {
+          thr(j, 1) = dp[0];
+          for (int c = 1; c < C - 1; ++c) thr(j, c + 1) = thr(j, c) + std::exp(dp[c]);
+          break;
+        }
+        (eps < 0 ? emin : emax) = eps;
+        eps = rng.uniform(emin, emax);
+      }
+    }
+
+    // ---- total ll
+    ll_total = 0.0;
+    for (int j = 0; j < m; ++j) {
+      double trow[32];
+      for (int c = 0; c <= C; ++c) trow[c] = thr(j, c);
+      for (size_t k = 0; k < obs_row[j].size(); ++k) {
+        int i = obs_row[j][k], c = obs_cat[j][k];
+        double gg = f(i, j) + mu(i, j);
+        double p = pnorm(trow[c] - gg) - pnorm(trow[c - 1] - gg);
+        ll_total += std::log(p + 1e-6);
+      }
+    }
+  }
+
+  auto t1 = std::chrono::steady_clock::now();
+  double secs = std::chrono::duration<double>(t1 - t0).count();
+  std::printf("{\"sec_per_iter\": %.6f, \"iters\": %d, \"ll\": %.3f}\n",
+              secs / iters, iters, ll_total);
+  return 0;
+}

@@ -5,7 +5,12 @@ Must run before the first `import jax` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the ambient environment points JAX_PLATFORMS at the real
+# TPU (axon tunnel) and a sitecustomize module imports jax before any test
+# code runs, so setting env vars alone is not enough — we must also update
+# jax.config after the fact (backends are not yet initialized at conftest
+# import time, so this still takes effect).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +19,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()

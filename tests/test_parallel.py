@@ -1,0 +1,97 @@
+"""Multi-chain shard_map tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpirt_tpu.models import GPIRTConfig, make_constants
+from gpirt_tpu.parallel import run_chains, make_chain_mesh, chain_keys
+from gpirt_tpu.utils.diagnostics import split_rhat, effective_sample_size
+
+from test_sampler import sim_2pl, binary_thresholds, default_priors
+
+
+def _setup(n=16, m=6, seed=0):
+    theta_true, y = sim_2pl(seed, n=n, m=m)
+    H, n, m = y.shape
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64")
+    consts = make_constants(config, **default_priors(n, m))
+    theta_init = np.linspace(-2, 2, n)[None]
+    return y, theta_init, binary_thresholds(m), consts, config
+
+
+class TestChains:
+    def test_vmap_chains_differ(self):
+        y, ti, thr, consts, config = _setup()
+        keys = chain_keys(1, 4)
+        draws = run_chains(
+            keys, jnp.asarray(y), ti, thr, consts, config,
+            sample_iterations=10, burn_iterations=0,
+        )
+        t = np.asarray(draws["theta"])  # (K, S, H, n)
+        assert t.shape[:2] == (4, 10)
+        # different keys -> different trajectories
+        assert not np.allclose(t[0], t[1])
+
+    def test_sharded_matches_unsharded(self):
+        y, ti, thr, consts, config = _setup()
+        keys = chain_keys(3, 8)
+        mesh = make_chain_mesh(8)
+        a = run_chains(keys, jnp.asarray(y), ti, thr, consts, config,
+                       sample_iterations=5, burn_iterations=0)
+        b = run_chains(keys, jnp.asarray(y), ti, thr, consts, config,
+                       sample_iterations=5, burn_iterations=0, mesh=mesh)
+        np.testing.assert_allclose(
+            np.asarray(a["theta"]), np.asarray(b["theta"]), rtol=1e-8, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["ll"]), np.asarray(b["ll"]), rtol=1e-8
+        )
+
+    def test_uneven_chains_raise(self):
+        y, ti, thr, consts, config = _setup()
+        keys = chain_keys(0, 6)
+        mesh = make_chain_mesh(4)
+        import pytest
+        with pytest.raises(ValueError):
+            run_chains(keys, jnp.asarray(y), ti, thr, consts, config,
+                       sample_iterations=2, burn_iterations=0, mesh=mesh)
+
+
+class TestDiagnostics:
+    def test_rhat_iid_near_one(self):
+        rng = np.random.default_rng(0)
+        draws = rng.standard_normal((4, 500, 3))
+        rh = split_rhat(draws)
+        assert np.all(rh < 1.05)
+
+    def test_rhat_detects_nonmixing(self):
+        rng = np.random.default_rng(1)
+        draws = rng.standard_normal((4, 500, 1)) + np.arange(4)[:, None, None] * 3
+        assert split_rhat(draws)[0] > 2.0
+
+    def test_ess_iid(self):
+        rng = np.random.default_rng(2)
+        draws = rng.standard_normal((2, 2000, 2))
+        ess = effective_sample_size(draws)
+        assert np.all(ess > 2000), ess  # ~4000 for iid
+
+    def test_ess_autocorrelated(self):
+        rng = np.random.default_rng(3)
+        S = 4000
+        rho = 0.9
+        x = np.zeros((1, S, 1))
+        e = rng.standard_normal(S)
+        for t in range(1, S):
+            x[0, t, 0] = rho * x[0, t - 1, 0] + e[t]
+        ess = effective_sample_size(x)[0]
+        # AR(1): ESS ~ S * (1-rho)/(1+rho) ~ S/19
+        assert S / 40 < ess < S / 8, ess
+
+    def test_pooled_chain_ess(self):
+        """ESS pooled across chains should scale ~linearly in chains."""
+        rng = np.random.default_rng(4)
+        one = rng.standard_normal((1, 1000, 1))
+        many = rng.standard_normal((8, 1000, 1))
+        r = effective_sample_size(many)[0] / effective_sample_size(one)[0]
+        assert 5 < r < 12, r

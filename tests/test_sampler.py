@@ -1,0 +1,240 @@
+"""End-to-end sampler tests on simulated data (SURVEY.md section 7.2 slice).
+
+The reference has no sampler tests at all; the oracle here is simulated
+ground truth (the roxygen 2PL example, R/gpirtMCMC.R:59-96) plus internal
+consistency checks (schedule math, fstar methods agreeing in distribution).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpirt_tpu.models import (
+    GPIRTConfig,
+    make_constants,
+    run_chain,
+    sample_schedule,
+    memory_estimate_mb,
+)
+from gpirt_tpu.models.gibbs import init_state, gibbs_sweep
+
+
+def default_priors(n, m):
+    return dict(
+        beta_prior_means=np.zeros((3, m)),
+        beta_prior_sds=np.full((3, m), 3.0),
+        theta_prior_means=np.zeros((2, n)),
+        theta_prior_sds=np.zeros((2, n)),
+    )
+
+
+def sim_2pl(seed, n=40, m=12, missing=0.0):
+    """Standard 2PL binary responses (reference roxygen example)."""
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(-3, 3, n)
+    alpha = np.linspace(-2, 2, m)
+    beta = rng.uniform(0.5, 3.0, m)
+    p = 1 / (1 + np.exp(-(alpha[None] + beta[None] * theta[:, None])))
+    y01 = (rng.random((n, m)) < p).astype(np.int32)
+    y = y01 + 1  # categories {1, 2}
+    if missing:
+        y[rng.random((n, m)) < missing] = 0
+    return theta, y[None]  # (H=1, n, m)
+
+
+def binary_thresholds(m, H=1):
+    thr = np.zeros((H, m, 3))
+    thr[..., 0] = -np.inf
+    thr[..., 1] = 0.0
+    thr[..., 2] = np.inf
+    return thr
+
+
+class TestSchedule:
+    def test_basic(self):
+        s = sample_schedule(100, 50, 1)
+        assert s == (50, 100, 1)
+
+    def test_thin(self):
+        # burn=0, sample=10, thin=3: stored at iters 0,3,6,9
+        s = sample_schedule(10, 0, 3)
+        assert s.pre_iterations == 0 and s.n_samples == 4
+
+    def test_thin_offset_burn(self):
+        # burn=5, thin=2, sample=4: iters 5..8, stored at 6, 8
+        s = sample_schedule(4, 5, 2)
+        assert s.pre_iterations == 6 and s.n_samples == 2
+
+    def test_reference_vignette_case(self):
+        s = sample_schedule(5000, 0, 1)
+        assert s.n_samples == 5000
+
+    def test_empty(self):
+        s = sample_schedule(0, 10, 1)
+        assert s.n_samples == 0
+
+    def test_memory_estimate(self):
+        est = memory_estimate_mb(102, 600, 1, 2, 5000, 1001,
+                                 store_f=False, store_fstar=False)
+        # matches the reference model: 8 * n_samples * {n, 3m, m(C+1)} bytes
+        np.testing.assert_allclose(est["theta"], 5000 * 102 * 8 / 2**20)
+        np.testing.assert_allclose(est["fstar"], 5000 * 1001 * 600 * 8 / 2**20)
+        assert est["total"] == pytest.approx(
+            est["theta"] + est["beta"] + est["threshold"]
+        )
+
+
+class TestEndToEnd:
+    def _run(self, seed=0, iters=400, burn=100, missing=0.0, **cfg_kw):
+        theta_true, y = sim_2pl(seed, missing=missing)
+        H, n, m = y.shape
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64", **cfg_kw)
+        consts = make_constants(config, **default_priors(n, m))
+        # spread theta inits so iteration 0 is well-conditioned
+        theta_init = np.linspace(-2, 2, n)[None]
+        rng = np.random.default_rng(seed + 1)
+        theta_init = rng.permutation(theta_init[0])[None]
+        draws = run_chain(
+            jax.random.key(seed),
+            jnp.asarray(y),
+            theta_init,
+            binary_thresholds(m),
+            consts,
+            config,
+            sample_iterations=iters,
+            burn_iterations=burn,
+        )
+        return theta_true, y, draws
+
+    @staticmethod
+    def _aligned_posterior_mean(draws):
+        """Posterior mean of theta after resolving the +-theta reflection
+        (the GP-IRT likelihood is invariant under theta -> -theta; a
+        well-mixing chain hops modes)."""
+        from gpirt_tpu.utils.diagnostics import align_theta_signs
+
+        t = np.asarray(draws["theta"])[:, 0]  # (S, n)
+        return align_theta_signs(t).mean(axis=0)
+
+    def test_theta_recovers_truth(self):
+        theta_true, y, draws = self._run()
+        post = self._aligned_posterior_mean(draws)
+        r = np.corrcoef(post, theta_true)[0, 1]
+        assert abs(r) > 0.9, r
+
+    def test_ll_improves_and_finite(self):
+        theta_true, y, draws = self._run(iters=200, burn=0)
+        ll = np.asarray(draws["ll"])
+        assert np.all(np.isfinite(ll))
+        assert ll[50:].mean() > ll[:10].mean()
+
+    def test_with_missing_data(self):
+        theta_true, y, draws = self._run(seed=3, missing=0.3)
+        post = self._aligned_posterior_mean(draws)
+        r = np.corrcoef(post, theta_true)[0, 1]
+        assert abs(r) > 0.85, r
+
+    def test_shapes_and_store_flags(self):
+        theta_true, y = sim_2pl(1, n=10, m=5)
+        H, n, m = y.shape
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64")
+        consts = make_constants(config, **default_priors(n, m))
+        draws = run_chain(
+            jax.random.key(0), jnp.asarray(y), np.linspace(-2, 2, n)[None],
+            binary_thresholds(m), consts, config,
+            sample_iterations=6, burn_iterations=2, thin=2,
+            store_f=True, store_fstar=True,
+        )
+        S = draws["theta"].shape[0]
+        assert S == 3  # iters 2,4,6
+        assert draws["theta"].shape == (S, H, n)
+        assert draws["beta"].shape == (S, H, 3, m)
+        assert draws["threshold"].shape == (S, H, m, 3)
+        assert draws["f"].shape == (S, H, n, m)
+        assert draws["fstar"].shape == (S, H, config.grid_size, m)
+        assert draws["ll"].shape == (S,)
+        # thetas are snapped to the grid
+        t = np.asarray(draws["theta"])
+        np.testing.assert_allclose(t, np.round((t + 5) / 0.01) * 0.01 - 5, atol=1e-9)
+
+    def test_deterministic_same_key(self):
+        _, y = sim_2pl(2, n=8, m=4)
+        H, n, m = y.shape
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64")
+        consts = make_constants(config, **default_priors(n, m))
+        args = (jnp.asarray(y), np.linspace(-1, 1, n)[None], binary_thresholds(m),
+                consts, config)
+        d1 = run_chain(jax.random.key(7), *args, sample_iterations=5, burn_iterations=0)
+        d2 = run_chain(jax.random.key(7), *args, sample_iterations=5, burn_iterations=0)
+        np.testing.assert_array_equal(np.asarray(d1["theta"]), np.asarray(d2["theta"]))
+
+    def test_fstar_methods_agree_in_distribution(self):
+        """Matheron-rule fstar and reference-style posterior-chol fstar draw
+        from the same conditional law: with the state held fixed, their
+        empirical means and sds on the grid must coincide."""
+        from gpirt_tpu.models.config import make_constants as mk
+        from gpirt_tpu.models.gibbs import (
+            theta_chol, snap_indices, _fstar_matheron, _fstar_chol,
+        )
+
+        n, m, H, N = 15, 4, 1, 101
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64", grid_size=N)
+        consts = mk(config, **default_priors(n, m))
+        rng = np.random.default_rng(0)
+        theta = np.sort(rng.uniform(-3, 3, n))[None]
+        idx = snap_indices(jnp.asarray(theta), config)
+        L = theta_chol(idx, consts, config)
+        z = rng.standard_normal((n, m))
+        f = jnp.asarray((np.asarray(L[0]) @ z)[None])
+        mu_star = jnp.zeros((H, N, m))
+
+        S = 3000
+        keys = jax.random.split(jax.random.key(1), S)
+        outs = {}
+        for name, fn in (("matheron", _fstar_matheron), ("chol", _fstar_chol)):
+            draws = jax.vmap(lambda k: fn(k, f, idx, L, mu_star, consts, config))(keys)
+            outs[name] = np.asarray(draws[:, 0])  # (S, N, m)
+        a, b = outs["matheron"], outs["chol"]
+        mean_scale = np.abs(b.mean(0)).max() + 1.0
+        assert np.abs(a.mean(0) - b.mean(0)).max() / mean_scale < 0.02
+        assert np.abs(a.std(0) - b.std(0)).max() / (b.std(0).max() + 1.0) < 0.05
+        # at observed theta locations the draw must be pinned near f
+        at_obs = np.asarray(
+            jnp.take_along_axis(jnp.asarray(a), np.asarray(idx[0])[None, :, None] * jnp.ones((S, 1, 1), jnp.int32), axis=1)
+        )
+        resid = at_obs - np.asarray(f[0])[None]
+        assert np.abs(resid).max() < 0.05, np.abs(resid).max()
+
+
+class TestOrdinal:
+    def test_ordinal_recovery(self):
+        """Ordinal data (C=4) with graded-response structure."""
+        rng = np.random.default_rng(10)
+        n, m, C = 40, 10, 4
+        theta = np.linspace(-2.5, 2.5, n)
+        disc = rng.uniform(1.0, 2.5, m)
+        g = disc[None] * theta[:, None]
+        cuts = np.array([-1.5, 0.0, 1.5])
+        z = g + rng.standard_normal((n, m))
+        y = (1 + (z[:, :, None] > cuts[None, None]).sum(-1)).astype(np.int32)
+        yc = y[None]
+
+        config = GPIRTConfig(n=n, m=m, horizon=1, C=C, dtype="float64")
+        consts = make_constants(config, **default_priors(n, m))
+        thr = np.zeros((1, m, C + 1))
+        thr[..., 0] = -np.inf
+        thr[..., -1] = np.inf
+        from scipy import stats as st
+        for i in range(1, C):
+            thr[..., i] = st.norm.ppf(i / C)
+        draws = run_chain(
+            jax.random.key(11), jnp.asarray(yc), np.linspace(-2, 2, n)[None],
+            thr, consts, config, sample_iterations=400, burn_iterations=100,
+        )
+        post = TestEndToEnd._aligned_posterior_mean(draws)
+        r = np.corrcoef(post, theta)[0, 1]
+        assert abs(r) > 0.9, r
+        # cutpoints stay ordered
+        t = np.asarray(draws["threshold"])[:, 0]  # (S, m, C+1)
+        assert np.all(np.diff(t[..., 1:-1], axis=-1) > 0)
