@@ -124,7 +124,13 @@ def gpirt_mcmc(
       fstar (S, N, m, H) if stored; threshold (S, m, C+1, H); ll (S,).
     """
     if vote_codes is not None:
-        data = as_response_matrix(_strip_h(data), vote_codes, verbose=verbose)
+        stripped = _strip_h(data)
+        if np.asarray(stripped).ndim == 3:
+            from gpirt_tpu.utils.response import recode_cube
+
+            data = recode_cube(stripped, vote_codes, verbose=verbose)
+        else:
+            data = as_response_matrix(stripped, vote_codes, verbose=verbose)
     cube = _as_cube(data)
     y, C, _ = encode_categories(cube)  # (H, n, m)
     H, n, m = y.shape
@@ -172,40 +178,44 @@ def gpirt_mcmc(
             store_f, store_fstar,
         )
 
-    results: List[Dict[str, np.ndarray]] = []
+    # per-chain theta inits: ~N(prior_mean, prior_sd) drawn once per chain and
+    # copied across sessions (R/gpirtMCMC.R:121-134). Default sds are zero, so
+    # defaults are exactly the prior means for every chain.
+    inits = []
     for chain in range(CHAIN):
-        seed = SEED + chain
-        key = jax.random.key(seed)
         if theta_init is None:
-            # theta_init ~ N(prior_mean, prior_sd) drawn once, copied across
-            # sessions (R/gpirtMCMC.R:121-134). Default sds are zero, so this
-            # is exactly the prior means.
-            k_init = jax.random.fold_in(key, 0xA11CE)
-            z = np.asarray(jax.random.normal(k_init, (n,), jnp.float32), np.float64)
-            t0 = theta_prior_means[0] + theta_prior_sds[0] * z
+            rng = np.random.default_rng(SEED + chain)
+            t0 = theta_prior_means[0] + theta_prior_sds[0] * rng.standard_normal(n)
             th_init = np.broadcast_to(t0[None, :], (H, n))
         else:
             ti = np.asarray(theta_init, np.float64)
             if ti.ndim == 1:
                 ti = ti[:, None]
             th_init = np.ascontiguousarray(ti.T)  # (H, n)
-        th_init = np.clip(th_init, THETA_LO, THETA_HI)
+        inits.append(np.clip(th_init, THETA_LO, THETA_HI))
+    th_inits = np.stack(inits)  # (CHAIN, H, n)
 
-        draws = run_chain(
-            key,
-            jnp.asarray(y),
-            th_init,
-            thresholds_init,
-            consts,
-            config,
-            sample_iterations=sample_iterations,
-            burn_iterations=burn_iterations,
-            thin=THIN,
-            store_f=store_f,
-            store_fstar=store_fstar,
-        )
-        results.append(_to_reference_layout(draws))
-    return results
+    from gpirt_tpu.parallel.chains import run_chains, chain_keys
+
+    draws = run_chains(
+        chain_keys(SEED, CHAIN),
+        jnp.asarray(y),
+        th_inits,
+        thresholds_init,
+        consts,
+        config,
+        sample_iterations=sample_iterations,
+        burn_iterations=burn_iterations,
+        thin=THIN,
+        store_f=store_f,
+        store_fstar=store_fstar,
+        mesh=mesh,
+    )
+    host = jax.tree_util.tree_map(np.asarray, draws)
+    return [
+        _to_reference_layout({k: v[c] for k, v in host.items()})
+        for c in range(CHAIN)
+    ]
 
 
 def _strip_h(data):

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gpirt_tpu.ops.kernels import icc_gram, time_gram
+from gpirt_tpu.ops.kernels import icc_gram_np, time_gram_np
 from gpirt_tpu.ops.linalg import host_cholesky_f64
 
 __all__ = ["GPIRTConfig", "GPIRTConstants", "make_constants", "THETA_LO", "THETA_HI"]
@@ -105,7 +105,7 @@ def make_constants(
     N = config.grid_size
     grid64 = np.linspace(THETA_LO, THETA_HI, N)
     sds_col0 = np.asarray(beta_prior_sds, np.float64)[:, 0]
-    gram64 = np.asarray(icc_gram(grid64, grid64, sds_col0))
+    gram64 = icc_gram_np(grid64, grid64, sds_col0)
     L_grid = host_cholesky_f64(gram64, config.jitter, dtype=dt)
 
     Xstar = np.stack([np.ones(N), grid64, grid64**2], axis=1)
@@ -117,12 +117,10 @@ def make_constants(
         # the factor identical for every respondent — so it is one (H, H)
         # matrix computed once, not n of them per iteration.
         ts = np.arange(config.horizon, dtype=np.float64)
-        Vt = np.asarray(
-            time_gram(ts, ts, config.theta_os, config.theta_ls, np.zeros(2), config.kernel)
+        Vt = time_gram_np(
+            ts, ts, config.theta_os, config.theta_ls, np.zeros(2), config.kernel
         )
-        L_time = jnp.asarray(
-            host_cholesky_f64(Vt, config.jitter, dtype=dt)
-        )
+        L_time = jnp.asarray(host_cholesky_f64(Vt, config.jitter, dtype=dt))
 
     inducing = None
     if config.constant_IRF:

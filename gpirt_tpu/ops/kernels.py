@@ -22,6 +22,8 @@ import jax.numpy as jnp
 __all__ = [
     "icc_gram",
     "time_gram",
+    "icc_gram_np",
+    "time_gram_np",
     "add_jitter",
 ]
 
@@ -91,6 +93,47 @@ def time_gram(
         raise ValueError(f"unknown time kernel {kernel!r}; expected 'Matern' or 'RBF'")
     sd0, sd1 = theta_prior_sds[0], theta_prior_sds[1]
     return core + a * (sd1 * sd1) * b + sd0 * sd0
+
+
+def icc_gram_np(x1, x2, beta_prior_sds):
+    """Host float64 version of ``icc_gram`` for setup-time factorizations.
+
+    jnp silently downcasts to float32 unless jax_enable_x64 is set; setup
+    Grams (the theta* grid Gram in particular) need full float64 before their
+    one-time Cholesky, independent of the JAX dtype config.
+    """
+    import numpy as np
+
+    a = np.asarray(x1, np.float64)[..., :, None]
+    b = np.asarray(x2, np.float64)[..., None, :]
+    sds = np.asarray(beta_prior_sds, np.float64)
+    d = a - b
+    return (
+        np.exp(-0.5 * d * d)
+        + a * (sds[1] ** 2) * b
+        + sds[0] ** 2
+        + np.square(a * sds[2] * b)
+    )
+
+
+def time_gram_np(t1, t2, os, ls, theta_prior_sds, kernel="Matern"):
+    """Host float64 version of ``time_gram`` (see icc_gram_np)."""
+    import numpy as np
+
+    a = np.asarray(t1, np.float64)[..., :, None]
+    b = np.asarray(t2, np.float64)[..., None, :]
+    sds = np.asarray(theta_prior_sds, np.float64)
+    d = np.abs(a - b)
+    if kernel == "Matern":
+        s5 = np.sqrt(5.0)
+        core = (os * os) * (1.0 + s5 * d / ls + 5.0 * d * d / (3.0 * ls * ls)) * np.exp(
+            -s5 * d / ls
+        )
+    elif kernel == "RBF":
+        core = (os * os) * np.exp(-d * d / (ls * ls))
+    else:
+        raise ValueError(f"unknown time kernel {kernel!r}; expected 'Matern' or 'RBF'")
+    return core + a * (sds[1] ** 2) * b + sds[0] ** 2
 
 
 def add_jitter(gram: jnp.ndarray, jitter: float) -> jnp.ndarray:

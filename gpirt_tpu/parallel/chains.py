@@ -70,6 +70,10 @@ def run_chains(
     n_chains = keys.shape[0]
     theta_init = jnp.asarray(theta_init, config.jdtype)
     thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
+    # theta_init may carry a per-chain leading axis (overdispersed inits)
+    per_chain_init = theta_init.ndim == 3
+    init_axis = 0 if per_chain_init else None
+    init_spec = P(axis) if per_chain_init else P()
 
     def one_chain(key, y, theta_init, thresholds_init, consts):
         return run_chain(
@@ -79,7 +83,7 @@ def run_chains(
             thin=thin, store_f=store_f, store_fstar=store_fstar,
         )
 
-    vmapped = jax.vmap(one_chain, in_axes=(0, None, None, None, None))
+    vmapped = jax.vmap(one_chain, in_axes=(0, None, init_axis, None, None))
 
     if mesh is None:
         return jax.jit(vmapped)(keys, y, theta_init, thresholds_init, consts)
@@ -92,7 +96,7 @@ def run_chains(
     sharded = shard_map(
         vmapped,
         mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(), init_spec, P(), P()),
         out_specs=P(axis),
         check_vma=False,
     )

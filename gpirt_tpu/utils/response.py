@@ -178,6 +178,47 @@ def as_response_matrix(x, response_codes=None, **kw) -> ResponseMatrix:
     return response_matrix(x, response_codes, **kw)
 
 
+def recode_cube(
+    data, response_codes: Optional[Dict[str, Sequence]] = None, *, verbose: bool = True
+) -> np.ndarray:
+    """Vote-code recoding for (n, m, H) response cubes -> {-1, +1, NaN}.
+
+    The unanimity filter is per-item across *all* horizons (dropping an item
+    in one session but not another would misalign the cube; the reference
+    only defines the 2-D case, R/response_matrix.R:87-95).
+    """
+    if response_codes is None:
+        response_codes = DEFAULT_VOTE_CODES
+    arr = np.asarray(data, dtype=object)
+    if arr.ndim != 3:
+        raise ValueError(f"recode_cube expects (n, m, H); got {arr.shape}")
+    n, m, H = arr.shape
+    flat = response_matrix(
+        arr.transpose(0, 2, 1).reshape(n * H, m),
+        response_codes,
+        drop_unanimous=False,
+        verbose=verbose,
+    )
+    out = np.asarray(flat, np.float64).reshape(n, H, m).transpose(0, 2, 1)
+    keep = []
+    dropped = []
+    for j in range(m):
+        col = out[:, j, :]
+        uniq = np.unique(col[~np.isnan(col)])
+        if uniq.size == 1:
+            dropped.append(j + 1)  # 1-based, like the R message
+        else:
+            keep.append(j)
+    if dropped and verbose:
+        plural = "s" if len(dropped) > 1 else ""
+        verb = "were" if len(dropped) > 1 else "was"
+        _message(
+            f"Item{plural} " + ", ".join(map(str, dropped)) +
+            f" {verb} discarded as unanimous."
+        )
+    return out[:, keep, :]
+
+
 def encode_categories(data: np.ndarray) -> Tuple[np.ndarray, int, np.ndarray]:
     """Raw responses -> int32 categories in 1..C, 0 = missing.
 

@@ -1,0 +1,183 @@
+"""API-surface tests: gpirt_mcmc / recover_fstar reference-parity behaviors."""
+
+import jax
+import numpy as np
+import pytest
+
+from gpirt_tpu.api import gpirt_mcmc, recover_fstar, default_thresholds
+from gpirt_tpu.utils.datasets import simulate_2pl, simulate_dynamic, load_sdo
+
+
+class TestGpirtMCMC:
+    def test_binary_vote_codes_path(self):
+        _, y = simulate_2pl(0, n=12, m=6)
+        out = gpirt_mcmc(
+            y, sample_iterations=4, burn_iterations=1,
+            vote_codes={"yea": 1, "nay": 0, "missing": None},
+            dtype="float64", verbose=False,
+        )
+        assert len(out) == 1
+        d = out[0]
+        n_items = d["beta"].shape[2]
+        assert d["theta"].shape == (4, 12, 1)
+        assert d["beta"].shape == (4, 3, n_items, 1)
+        assert d["threshold"].shape[1:] == (n_items, 3, 1)
+        assert d["ll"].shape == (4,)
+        assert np.all(np.isfinite(d["ll"]))
+
+    def test_multi_chain_seeds(self):
+        _, y = simulate_2pl(1, n=10, m=5)
+        out = gpirt_mcmc(
+            y, 3, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            CHAIN=2, SEED=5, dtype="float64", verbose=False,
+        )
+        assert len(out) == 2
+        assert not np.allclose(out[0]["theta"], out[1]["theta"])
+        # reproducible under the same SEED
+        out2 = gpirt_mcmc(
+            y, 3, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            CHAIN=2, SEED=5, dtype="float64", verbose=False,
+        )
+        np.testing.assert_array_equal(out[0]["theta"], out2[0]["theta"])
+
+    def test_ordinal_path_sdo_subset(self):
+        sdo = load_sdo()[:40, :6]
+        out = gpirt_mcmc(
+            sdo, 5, 1, vote_codes=None, dtype="float64", verbose=False,
+        )
+        d = out[0]
+        assert d["threshold"].shape[2] == 6  # C=5 -> C+1 cutpoints
+        t = d["threshold"][..., 0]  # (S, m, C+1)
+        finite = t[..., 1:-1]
+        assert np.all(np.diff(finite, axis=-1) > 0)  # ordered cutpoints
+        assert np.all(np.isneginf(t[..., 0])) and np.all(np.isposinf(t[..., -1]))
+
+    def test_store_flags_and_memory_estimate(self, capsys):
+        _, y = simulate_2pl(2, n=8, m=4)
+        out = gpirt_mcmc(
+            y, 2, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            store_f=True, store_fstar=True, dtype="float64", verbose=True,
+            grid_size=101,
+        )
+        err = capsys.readouterr().err
+        assert "MEMORY ESTIMATE" in err
+        d = out[0]
+        m_kept = d["beta"].shape[2]
+        assert d["f"].shape == (2, 8, m_kept, 1)
+        assert d["fstar"].shape == (2, 101, m_kept, 1)
+
+    def test_theta_init_passthrough_and_thin(self):
+        _, y = simulate_2pl(3, n=8, m=4)
+        ti = np.linspace(-1, 1, 8)
+        out = gpirt_mcmc(
+            y, 6, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            THIN=2, theta_init=ti, dtype="float64", verbose=False,
+        )
+        assert out[0]["theta"].shape[0] == 3
+
+    def test_default_thresholds_qnorm(self):
+        thr = default_thresholds(4, 2, 1)
+        from scipy import stats
+        np.testing.assert_allclose(thr[0, 0, 1:4], stats.norm.ppf([0.25, 0.5, 0.75]))
+        assert np.isneginf(thr[0, 0, 0]) and np.isposinf(thr[0, 0, 4])
+
+
+class TestDynamic:
+    @pytest.mark.parametrize(
+        "theta_ls,regime",
+        [(20.0, "CST"), (0.05, "RDM"), (2.0, "GP")],
+    )
+    def test_regimes_run(self, theta_ls, regime):
+        from gpirt_tpu.models.config import GPIRTConfig
+
+        _, y = simulate_dynamic(0, n=10, m=5, horizon=3)
+        cfg = GPIRTConfig(n=10, m=5, horizon=3, C=2, theta_ls=theta_ls)
+        assert cfg.theta_regime == regime
+        out = gpirt_mcmc(
+            y, 4, 1, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            theta_ls=theta_ls, dtype="float64", verbose=False,
+        )
+        d = out[0]
+        th = d["theta"]  # (S, n, H)
+        assert th.shape[2] == 3
+        assert np.all(np.isfinite(d["ll"]))
+        if regime == "CST":
+            # constant regime: theta equal across sessions
+            np.testing.assert_allclose(th[..., 0], th[..., 1])
+            np.testing.assert_allclose(th[..., 0], th[..., 2])
+
+    def test_gp_regime_recovers_drift(self):
+        theta_true, y = simulate_dynamic(5, n=30, m=12, horizon=3, drift=0.4)
+        out = gpirt_mcmc(
+            y, 200, 80, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            theta_ls=2.0, dtype="float64", verbose=False,
+            theta_init=theta_true + 0.1,  # start near truth; tests the GP dynamics
+        )
+        th = np.asarray(out[0]["theta"])  # (S, n, H)
+        post = th.mean(axis=0)
+        r = np.corrcoef(post.ravel(), theta_true.ravel())[0, 1]
+        assert abs(r) > 0.8, r
+
+    def test_constant_irf(self):
+        _, y = simulate_dynamic(1, n=12, m=6, horizon=2)
+        out = gpirt_mcmc(
+            y, 4, 1, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            constant_IRF=1, theta_ls=2.0, store_fstar=True,
+            dtype="float64", grid_size=101, verbose=False,
+        )
+        d = out[0]
+        fs = d["fstar"]  # (S, N, m, H)
+        np.testing.assert_allclose(fs[..., 0], fs[..., 1])  # shared IRFs
+        t = d["threshold"]
+        np.testing.assert_allclose(t[..., 0], t[..., 1])  # shared cutpoints
+
+
+class TestRecoverFstar:
+    def test_shapes_and_determinism(self):
+        _, y = simulate_2pl(4, n=10, m=5)
+        # run a tiny chain storing f, then recover fstar from the last draw
+        out = gpirt_mcmc(
+            y, 3, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            store_f=True, dtype="float64", grid_size=101, verbose=False,
+        )
+        d = out[0]
+        m_kept = d["beta"].shape[2]
+        # re-encode the data the same way for recover (binary -> ordinal cube)
+        from gpirt_tpu.utils.response import as_response_matrix
+        rm = as_response_matrix(y, {"yea": 1, "nay": 0, "missing": None},
+                                verbose=False)
+        rec = recover_fstar(
+            7, d["f"][-1], np.asarray(rm), d["theta"][-1], d["beta"][-1],
+            d["threshold"][-1], dtype="float64", grid_size=101,
+        )
+        assert rec["fstar"].shape == (101, m_kept, 1)
+        rec2 = recover_fstar(
+            7, d["f"][-1], np.asarray(rm), d["theta"][-1], d["beta"][-1],
+            d["threshold"][-1], dtype="float64", grid_size=101,
+        )
+        np.testing.assert_array_equal(rec["fstar"], rec2["fstar"])
+        # different seed -> different draw
+        rec3 = recover_fstar(
+            8, d["f"][-1], np.asarray(rm), d["theta"][-1], d["beta"][-1],
+            d["threshold"][-1], dtype="float64", grid_size=101,
+        )
+        assert not np.allclose(rec["fstar"], rec3["fstar"])
+
+    def test_mean_degree_quirk(self):
+        """mean_degree=1 (reference quirk) vs 2 give different recoveries."""
+        _, y = simulate_2pl(5, n=10, m=5)
+        out = gpirt_mcmc(
+            y, 2, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            store_f=True, dtype="float64", grid_size=101, verbose=False,
+        )
+        d = out[0]
+        from gpirt_tpu.utils.response import as_response_matrix
+        rm = np.asarray(as_response_matrix(y, {"yea": 1, "nay": 0, "missing": None},
+                                           verbose=False))
+        a = recover_fstar(1, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
+                          d["threshold"][-1], dtype="float64", grid_size=101,
+                          mean_degree=1)
+        b = recover_fstar(1, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
+                          d["threshold"][-1], dtype="float64", grid_size=101,
+                          mean_degree=2)
+        assert not np.allclose(a["fstar"], b["fstar"])
