@@ -26,12 +26,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def run_tpu_bench(sample_iterations=500, burn_iterations=100):
+def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8):
+    """senate116 binary GP-IRT: n_chains vmapped chains on one chip.
+
+    The ESS is pooled across chains (chains are the TPU's free batch axis —
+    the reference runs chains sequentially, R/gpirtMCMC.R:112). Theta draws
+    are sign-aligned per chain before pooling (reflection invariance).
+    """
     import jax
     import jax.numpy as jnp
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
-    from gpirt_tpu.models.sampler import run_chain
+    from gpirt_tpu.parallel.chains import run_chains, chain_keys
     from gpirt_tpu.utils.datasets import senate116_response_matrix
     from gpirt_tpu.utils.diagnostics import align_theta_signs, effective_sample_size
     from gpirt_tpu.utils.response import encode_categories
@@ -52,39 +58,43 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100):
     )
     thr = default_thresholds(C, m, H)
     rng = np.random.default_rng(0)
-    theta_init = rng.permutation(np.linspace(-2, 2, n))[None]
+    # overdispersed per-chain inits
+    theta_init = np.stack(
+        [rng.permutation(np.linspace(-2, 2, n))[None] for _ in range(n_chains)]
+    )  # (K, H, n)
 
     yj = jnp.asarray(y)
 
-    def go(sample_it, burn_it, key):
-        return run_chain(
-            key, yj, theta_init, thr, consts, config,
-            sample_iterations=sample_it, burn_iterations=burn_it,
+    def go(seed):
+        return run_chains(
+            chain_keys(seed, n_chains), yj, theta_init, thr, consts, config,
+            sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         )
 
-    # warmup/compile (scan lengths differ between warmup and timed run, so
-    # jit caches don't collide; keep shapes identical instead)
     t_compile = time.time()
-    warm = go(sample_iterations, burn_iterations, jax.random.key(99))
-    jax.block_until_ready(warm)
+    jax.block_until_ready(go(99))
     t_compile = time.time() - t_compile
 
     t0 = time.time()
-    draws = go(sample_iterations, burn_iterations, jax.random.key(1))
+    draws = go(1)
     jax.block_until_ready(draws)
     wall = time.time() - t0
 
-    theta = np.asarray(draws["theta"])[:, 0]  # (S, n)
-    aligned = align_theta_signs(theta)
-    ess = effective_sample_size(aligned[None])  # (n,)
+    theta = np.asarray(draws["theta"])[:, :, 0]  # (K, S, n)
+    ref = theta[0, 0]
+    aligned = np.stack([align_theta_signs(c, reference=ref) for c in theta])
+    ess = effective_sample_size(aligned)  # (n,)
     ess_median = float(np.median(ess))
     total_iters = sample_iterations + burn_iterations
     return {
         "ess_median": ess_median,
         "wall": wall,
-        "iters_per_sec": total_iters / wall,
+        "n_chains": n_chains,
+        "iters_per_sec": total_iters / wall,  # lockstep vmapped iterations
         "ess_per_sec": ess_median / wall,
-        "ess_per_iter": ess_median / sample_iterations,
+        # per-chain per-iteration statistical efficiency (for the baseline
+        # extrapolation: same Markov kernel family, one chain, one core)
+        "ess_per_iter": ess_median / n_chains / sample_iterations,
         "compile_sec": t_compile,
         "n": n,
         "m": m,
@@ -155,6 +165,7 @@ def main():
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
                 "detail": {
                     "iters_per_sec": round(res["iters_per_sec"], 3),
+                    "n_chains": res["n_chains"],
                     "ess_median": round(res["ess_median"], 1),
                     "compile_sec": round(res["compile_sec"], 1),
                     "platform": res["platform"],

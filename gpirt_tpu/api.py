@@ -98,6 +98,7 @@ def gpirt_mcmc(
     dtype: str = "float32",
     grid_size: int = 1001,
     fstar_method: str = "matheron",
+    theta_method: str = "grid",
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     verbose: bool = True,
@@ -160,6 +161,7 @@ def gpirt_mcmc(
         constant_IRF=bool(constant_IRF),
         dtype=dtype,
         fstar_method=fstar_method,
+        theta_method=theta_method,
         jitter=jitter if jitter is not None else (1e-6 if dtype == "float64" else 1e-5),
     )
     consts = make_constants(
@@ -191,7 +193,11 @@ def gpirt_mcmc(
             ti = np.asarray(theta_init, np.float64)
             if ti.ndim == 1:
                 ti = ti[:, None]
-            th_init = np.ascontiguousarray(ti.T)  # (H, n)
+            th_init = np.ascontiguousarray(ti.T)  # (H or 1, n)
+            if th_init.shape[0] == 1 and H > 1:
+                # copy the single-session init across sessions
+                # (R/gpirtMCMC.R:128-132 semantics)
+                th_init = np.broadcast_to(th_init, (H, n))
         inits.append(np.clip(th_init, THETA_LO, THETA_HI))
     th_inits = np.stack(inits)  # (CHAIN, H, n)
 

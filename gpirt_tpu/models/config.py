@@ -41,6 +41,8 @@ class GPIRTConfig:
     dtype: str = "float32"  # compute dtype on device
     ess_max_rounds: int = 64
     fstar_method: str = "matheron"  # "matheron" (fast, grid-pathwise) | "chol"
+    theta_method: str = "grid"  # "grid" (exact conditional, documented in the
+    # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
 
     @property
@@ -91,6 +93,7 @@ class GPIRTConstants:
     theta_prior_means: jnp.ndarray  # (2, n)
     theta_prior_sds: jnp.ndarray  # (2, n)
     L_time: Optional[jnp.ndarray]  # (H, H) time-GP chol, or None outside GP regime
+    Lambda_time: Optional[jnp.ndarray]  # (H, H) time-GP precision (grid Gibbs)
     inducing: Optional[jnp.ndarray]  # (n_inducing,) inducing grid (constant_IRF)
 
 
@@ -111,6 +114,7 @@ def make_constants(
     Xstar = np.stack([np.ones(N), grid64, grid64**2], axis=1)
 
     L_time = None
+    Lambda_time = None
     if config.theta_regime == "GP":
         # Reference quirk (deliberately reproduced): the cholesky cache builds
         # L_time with *zeroed* prior sds (src/cholesky-cache.cpp:31), making
@@ -121,6 +125,9 @@ def make_constants(
             ts, ts, config.theta_os, config.theta_ls, np.zeros(2), config.kernel
         )
         L_time = jnp.asarray(host_cholesky_f64(Vt, config.jitter, dtype=dt))
+        Lambda_time = jnp.asarray(
+            np.linalg.inv(Vt + config.jitter * np.eye(config.horizon)).astype(dt)
+        )
 
     inducing = None
     if config.constant_IRF:
@@ -141,5 +148,6 @@ def make_constants(
         theta_prior_means=jnp.asarray(theta_prior_means, dt),
         theta_prior_sds=jnp.asarray(theta_prior_sds, dt),
         L_time=L_time,
+        Lambda_time=Lambda_time,
         inducing=inducing,
     )

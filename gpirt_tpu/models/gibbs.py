@@ -40,6 +40,8 @@ from gpirt_tpu.ops.ess import ess_update
 from gpirt_tpu.ops.kernels import icc_gram
 from gpirt_tpu.ops.likelihood import (
     ordinal_ll_terms,
+    cutpoint_bounds,
+    ll_terms_from_bounds,
     delta_to_threshold,
     threshold_to_delta,
 )
@@ -160,10 +162,12 @@ def draw_f(
         nu = jnp.einsum("hij,hjm->him", L, z)
         x = jnp.swapaxes(state.f, 1, 2)  # (H, m, n)
         nu_t = jnp.swapaxes(nu, 1, 2)
+        # hoist the per-observation cutpoint gathers out of the shrink loop
+        z_lo, z_hi, mask = cutpoint_bounds(y, state.thresholds)
 
         def loglik(xt):  # (H, m, n) -> (H, m)
             g = jnp.swapaxes(xt, 1, 2) + mu
-            return jnp.sum(ordinal_ll_terms(g, y, state.thresholds), axis=1)
+            return jnp.sum(ll_terms_from_bounds(g, z_lo, z_hi, mask), axis=1)
 
         x_new = ess_update(k_ess, x, nu_t, loglik, max_rounds=config.ess_max_rounds)
         return jnp.swapaxes(x_new, 1, 2)
@@ -177,10 +181,11 @@ def draw_f(
     y_flat = y.reshape(nh, m)
     thr0 = state.thresholds[0]  # shared cutpoints, slice 0
     x = f_flat.T  # (m, nh)
+    z_lo, z_hi, mask = cutpoint_bounds(y_flat, thr0)
 
     def loglik(xt):  # (m, nh) -> (m,)
         g = xt.T + mu_flat
-        return jnp.sum(ordinal_ll_terms(g, y_flat, thr0), axis=0)
+        return jnp.sum(ll_terms_from_bounds(g, z_lo, z_hi, mask), axis=0)
 
     x_new = ess_update(k_ess, x, nu.T, loglik, max_rounds=config.ess_max_rounds)
     return x_new.T.reshape(H, n, m)
@@ -275,16 +280,58 @@ def draw_fstar(
 # ---------------------------------------------------------------------------
 
 
-def _theta_grid_loglik(gstar, y, thresholds, config):
-    """Builds the grid-lookup likelihood closure: (n, H) theta -> (n,) ll."""
+def _category_logprobs(
+    g: jnp.ndarray, thresholds: jnp.ndarray, C: int
+) -> jnp.ndarray:
+    """log P(y = c | g) for every category: (..., m) g -> (..., m, C).
 
-    def loglik(theta_nH):
-        idx = snap_indices(theta_nH, config)  # (n, H)
-        g = jnp.take_along_axis(gstar, idx.T[:, :, None], axis=1)  # (H, n, m)
-        terms = ordinal_ll_terms(g, y, thresholds)  # (H, n, m)
-        return jnp.sum(terms, axis=(0, 2))  # (n,)
+    One Phi evaluation per cutpoint boundary (categories share boundaries,
+    so this halves the transcendental count vs per-observation bounds).
+    """
+    # thresholds (..., m, C+1) broadcast against g (..., m)
+    z = thresholds - g[..., None]  # (..., m, C+1)
+    cdf = 0.5 * (1.0 + jax.lax.erf(z * jnp.asarray(0.7071067811865476, g.dtype)))
+    p = cdf[..., 1:] - cdf[..., :-1]  # (..., m, C)
+    return jnp.log(p + jnp.asarray(1e-6, g.dtype))
 
-    return loglik
+
+def _theta_ll_table(
+    fstar: jnp.ndarray,
+    mu_star: jnp.ndarray,
+    y: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    C: int,
+) -> jnp.ndarray:
+    """Per-respondent log-likelihood at EVERY grid point: (H, N, n).
+
+    TPU-style trade: instead of lazily re-evaluating observed items inside
+    a rejection loop (reference src/draw-theta.cpp:4-24), evaluate all N
+    candidate thetas at once. Because the candidate g values depend on
+    (grid point, item) but not on the respondent, the table factorizes into
+      logprobs[h, k, j, c]  (N*m*(C+1) transcendentals)
+      one_hot(y)[h, i, j, c]  (static per run)
+    contracted over (j, c) — one MXU matmul of shape (N, m*C) x (m*C, n).
+    Missing responses have an all-zero one-hot row and drop out exactly.
+
+    The table then makes every theta ESS round a pure gather — and enables
+    the exact grid-Gibbs conditional draw (theta_method="grid").
+    """
+    gstar = fstar + mu_star  # (H, N, m)
+    logp = _category_logprobs(gstar, thresholds[:, None], C)  # (H, N, m, C)
+    onehot = jax.nn.one_hot(y - 1, C, dtype=gstar.dtype)  # (H, n, m, C); y=0 -> zeros
+    return jnp.einsum("hkjc,hijc->hki", logp, onehot)
+
+
+def _table_lookup(table: jnp.ndarray, idx_hn: jnp.ndarray) -> jnp.ndarray:
+    """table (H, N, n), idx (H, n) -> (H, n) values table[h, idx[h,i], i]."""
+    return jnp.take_along_axis(table, idx_hn[:, None, :], axis=1)[:, 0, :]
+
+
+def _gumbel_argmax(key: jax.Array, logits: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact categorical sampling via the Gumbel-max trick (TPU-friendly:
+    one fused elementwise + argmax, no CDF scan)."""
+    g = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape, logits.dtype)))
+    return jnp.argmax(logits + g, axis=axis).astype(jnp.int32)
 
 
 def draw_theta(
@@ -295,22 +342,84 @@ def draw_theta(
     consts: GPIRTConstants,
     config: GPIRTConfig,
 ) -> jnp.ndarray:
-    """ESS redraw of theta, snapped to the grid. Returns new theta_idx (H, n).
+    """Redraw theta on the grid. Returns new theta_idx (H, n).
 
     Three regimes keyed on the time length-scale (src/draw-theta.cpp:112-236):
-    CST (one theta per respondent, shared across sessions), RDM (independent
-    per session), GP (time-GP prior with the cached L_time factor).
-    The likelihood is a pure gather into fstar + mu_star — all candidate
-    evaluations across respondents/rounds are one batched take.
+    CST (one theta per respondent shared across sessions), RDM (independent
+    per session), GP (time-GP prior).
+
+    Two methods:
+      * "grid" (default): exact Gibbs draw from the conditional posterior
+        restricted to the theta* grid — the brute-force inverse-transform
+        update the reference *documents* (vignettes/gpirt-vignette.Rmd:111-112)
+        — via the full ll table + Gumbel-max. Mixes strictly better than a
+        local ESS walk and costs one fused broadcast-reduce.
+      * "ess": the reference *code*'s ESS + grid-snap update
+        (src/draw-theta.cpp:26-84, 165-168), kept for parity validation.
     """
+    if config.theta_method == "grid":
+        return _draw_theta_grid(key, state, mu_star, y, consts, config)
+    return _draw_theta_ess(key, state, mu_star, y, consts, config)
+
+
+def _draw_theta_grid(key, state, mu_star, y, consts, config) -> jnp.ndarray:
     H, n = state.theta_idx.shape
     dt = state.f.dtype
-    gstar = state.fstar + mu_star  # (H, N, m)
+    N = config.grid_size
+    table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds, config.C)  # (H,N,n)
+    grid = consts.grid  # (N,)
+    regime = config.theta_regime
+
+    if regime == "CST":
+        var = (1.0 + jnp.square(consts.theta_prior_sds[0])).astype(dt)  # (n,)
+        logprior = -0.5 * jnp.square(grid[None, :]) / var[:, None]  # (n, N)
+        logits = jnp.sum(table, axis=0).T + logprior  # (n, N)
+        idx = _gumbel_argmax(key, logits, axis=1)  # (n,)
+        return jnp.broadcast_to(idx[None, :], (H, n))
+
+    if regime == "RDM":
+        var = (1.0 + jnp.square(consts.theta_prior_sds[0])).astype(dt)  # (n,)
+        logprior = -0.5 * jnp.square(grid[None, None, :]) / var[None, :, None]
+        logits = jnp.swapaxes(table, 1, 2) + logprior  # (H, n, N)
+        return _gumbel_argmax(key, logits, axis=2)  # (H, n)
+
+    # GP regime: sequential Gibbs over sessions; the likelihood factorizes
+    # over h, so each session's conditional is (ll table row) + (Gaussian
+    # prior conditional from the time-kernel precision Lambda).
+    Lam = consts.Lambda_time  # (H, H)
+    theta = theta_from_indices(state.theta_idx, consts)  # (H, n)
+
+    def step(theta, inputs):
+        h, k = inputs
+        lam_row = Lam[h]  # (H,)
+        lam_hh = lam_row[h]
+        # conditional mean: -1/Lam_hh * sum_{h' != h} Lam_{h,h'} theta_{h'}
+        cross = lam_row @ theta - lam_hh * theta[h]  # (n,)
+        mean = -cross / lam_hh
+        var = 1.0 / lam_hh
+        logprior = -0.5 * jnp.square(grid[None, :] - mean[:, None]) / var  # (n,N)
+        logits = table[h].T + logprior  # (n, N)
+        idx = _gumbel_argmax(k, logits, axis=1)  # (n,)
+        theta = theta.at[h].set(grid[idx])
+        return theta, idx
+
+    keys = jax.random.split(key, H)
+    theta, idxs = jax.lax.scan(step, theta, (jnp.arange(H), keys))
+    return idxs  # (H, n) in scan order == session order
+
+
+def _draw_theta_ess(key, state, mu_star, y, consts, config) -> jnp.ndarray:
+    H, n = state.theta_idx.shape
+    dt = state.f.dtype
+    table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds, config.C)  # (H,N,n)
     theta = theta_from_indices(state.theta_idx, consts)  # (H, n)
     clamp = lambda v: jnp.clip(v, THETA_LO, THETA_HI)
-    base_ll = _theta_grid_loglik(gstar, y, state.thresholds, config)
     k_nu, k_ess = jax.random.split(key)
     regime = config.theta_regime
+
+    def ll_nH(theta_nH):  # (n, H) -> (n,)
+        idx = snap_indices(theta_nH, config)  # (n, H)
+        return jnp.sum(_table_lookup(table, idx.T), axis=0)
 
     if regime == "CST":
         # prior sd_i = sqrt(1 + theta_prior_sds[0,i]^2)  (src/draw-theta.cpp:158)
@@ -319,7 +428,7 @@ def draw_theta(
         nu = jax.random.normal(k_nu, (n, 1), dt) * sd[:, None]
 
         def loglik(xt):  # (n, 1) -> (n,)
-            return base_ll(jnp.broadcast_to(xt, (n, H)))
+            return ll_nH(jnp.broadcast_to(xt, (n, H)))
 
         x_new = ess_update(
             k_ess, x, nu, loglik, transform=clamp, max_rounds=config.ess_max_rounds
@@ -330,15 +439,11 @@ def draw_theta(
     if regime == "RDM":
         sd = jnp.sqrt(1.0 + jnp.square(consts.theta_prior_sds[0])).astype(dt)  # (n,)
         x = theta.T.reshape(n * H, 1)
-        nu = jax.random.normal(k_nu, (n, H), dt) * sd[:, None]
-        nu = nu.reshape(n * H, 1)
+        nu = (jax.random.normal(k_nu, (n, H), dt) * sd[:, None]).reshape(n * H, 1)
 
         def loglik(xt):  # (n*H, 1) -> (n*H,)
-            theta_nH = xt.reshape(n, H)
-            idx = snap_indices(theta_nH, config)
-            g = jnp.take_along_axis(gstar, idx.T[:, :, None], axis=1)
-            terms = ordinal_ll_terms(g, y, state.thresholds)  # (H, n, m)
-            return jnp.sum(terms, axis=2).T.reshape(n * H)  # per (i, h)
+            idx = snap_indices(xt.reshape(n, H), config)
+            return _table_lookup(table, idx.T).T.reshape(n * H)
 
         x_new = ess_update(
             k_ess, x, nu, loglik, transform=clamp, max_rounds=config.ess_max_rounds
@@ -350,7 +455,7 @@ def draw_theta(
     z = jax.random.normal(k_nu, (n, H), dt)
     nu = z @ consts.L_time.T
     x_new = ess_update(
-        k_ess, x, nu, base_ll, transform=clamp, max_rounds=config.ess_max_rounds
+        k_ess, x, nu, ll_nH, transform=clamp, max_rounds=config.ess_max_rounds
     )
     return snap_indices(x_new.T, config)
 
@@ -385,10 +490,11 @@ def draw_beta(
     sd = jnp.sqrt(jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
     nu = z * sd.T[None]  # (H, m, 3)
     x = jnp.swapaxes(beta, 1, 2)  # (H, m, 3)
+    z_lo, z_hi, mask = cutpoint_bounds(y, thresholds)
 
     def loglik(xt):  # (H, m, 3) -> (H, m)
         mu_p = jnp.einsum("hnp,hmp->hnm", X, xt)
-        return jnp.sum(ordinal_ll_terms(f + mu_p, y, thresholds), axis=1)
+        return jnp.sum(ll_terms_from_bounds(f + mu_p, z_lo, z_hi, mask), axis=1)
 
     x_new = ess_update(k_ess, x, nu, loglik, max_rounds=config.ess_max_rounds)
     has_obs = jnp.any(y > 0, axis=1)  # (H, m)
@@ -413,9 +519,14 @@ def draw_threshold(
     identity-covariance prior (src/draw_threshold.cpp). constant_IRF shares
     one cutpoint vector across horizons (slice 0, copied)."""
     H, m, Cp1 = thresholds.shape
+    C = Cp1 - 1
     dt = thresholds.dtype
     g = f + mu
     k_nu, k_ess = jax.random.split(key)
+    # gather-free likelihood: all C category log-probs (categories share
+    # cutpoint boundaries, so this costs (C+1) Phi per observation) dotted
+    # with the static one-hot of y — no take_along_axis inside the loop
+    onehot = jax.nn.one_hot(y - 1, C, dtype=dt)  # (H, n, m, C); y=0 -> zeros
 
     if config.constant_IRF:
         delta = threshold_to_delta(thresholds[0])  # (m, C-1)
@@ -423,7 +534,8 @@ def draw_threshold(
 
         def loglik(d):  # (m, C-1) -> (m,)
             thr = delta_to_threshold(d)  # (m, C+1)
-            return jnp.sum(ordinal_ll_terms(g, y, thr[None]), axis=(0, 1))
+            logp = _category_logprobs(g, thr[None, None], C)  # (H, n, m, C)
+            return jnp.einsum("hijc,hijc->j", logp, onehot)
 
         d_new = ess_update(k_ess, delta, nu, loglik, max_rounds=config.ess_max_rounds)
         thr0 = delta_to_threshold(d_new)
@@ -433,8 +545,9 @@ def draw_threshold(
     nu = jax.random.normal(k_nu, delta.shape, dt)
 
     def loglik(d):  # (H, m, C-1) -> (H, m)
-        thr = delta_to_threshold(d)
-        return jnp.sum(ordinal_ll_terms(g, y, thr), axis=1)
+        thr = delta_to_threshold(d)  # (H, m, C+1)
+        logp = _category_logprobs(g, thr[:, None], C)  # (H, n, m, C)
+        return jnp.einsum("hijc,hijc->hj", logp, onehot)
 
     d_new = ess_update(k_ess, delta, nu, loglik, max_rounds=config.ess_max_rounds)
     return delta_to_threshold(d_new)

@@ -23,6 +23,8 @@ __all__ = [
     "LL_FLOOR",
     "ordinal_ll_terms",
     "ordinal_ll",
+    "cutpoint_bounds",
+    "ll_terms_from_bounds",
     "delta_to_threshold",
     "threshold_to_delta",
 ]
@@ -34,6 +36,39 @@ LL_FLOOR = 1e-6
 def _norm_cdf(z: jnp.ndarray) -> jnp.ndarray:
     # Phi via erf keeps everything on the VPU; handles +-inf exactly.
     return 0.5 * (1.0 + jax.lax.erf(z * jnp.asarray(0.7071067811865476, z.dtype)))
+
+
+def cutpoint_bounds(y: jnp.ndarray, thresholds: jnp.ndarray):
+    """Gather each observation's cutpoint interval once.
+
+    The category index ``y`` is fixed within a Gibbs block, so the
+    (t_{y-1}, t_y) gathers can be hoisted out of the ESS shrink loop; each
+    round then only re-evaluates Phi at the new ``g``.
+
+    Args:
+      y: ``(..., n, m)`` int32 categories in 1..C, 0 = missing.
+      thresholds: ``(..., m, C+1)`` with +-inf endpoints, broadcastable
+        against y's batch axes.
+
+    Returns:
+      (z_lo, z_hi, mask): two ``(..., n, m)`` float arrays and a bool mask.
+    """
+    ysafe = jnp.maximum(y, 1)
+    # thresholds: (..., m, C+1) -> broadcast over the n axis -> (..., 1, m, C+1)
+    thr = thresholds[..., None, :, :]
+    idx_hi = ysafe[..., None]
+    z_hi = jnp.take_along_axis(thr, idx_hi, axis=-1)[..., 0]
+    z_lo = jnp.take_along_axis(thr, idx_hi - 1, axis=-1)[..., 0]
+    return z_lo, z_hi, y > 0
+
+
+def ll_terms_from_bounds(
+    g: jnp.ndarray, z_lo: jnp.ndarray, z_hi: jnp.ndarray, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """``log(Phi(z_hi - g) - Phi(z_lo - g) + 1e-6)``, 0 where masked."""
+    p = _norm_cdf(z_hi - g) - _norm_cdf(z_lo - g)
+    terms = jnp.log(p + jnp.asarray(LL_FLOOR, g.dtype))
+    return jnp.where(mask, terms, jnp.zeros((), g.dtype))
 
 
 def ordinal_ll_terms(g: jnp.ndarray, y: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
@@ -49,15 +84,8 @@ def ordinal_ll_terms(g: jnp.ndarray, y: jnp.ndarray, thresholds: jnp.ndarray) ->
       ``(..., n, m)`` array of ``log(Phi(t_y - g) - Phi(t_{y-1} - g) + 1e-6)``
       with exact zeros at missing entries.
     """
-    ysafe = jnp.maximum(y, 1)
-    # thresholds: (..., m, C+1) -> broadcast over the n axis -> (..., 1, m, C+1)
-    thr = thresholds[..., None, :, :]
-    idx_hi = ysafe[..., None]
-    z2 = jnp.take_along_axis(thr, idx_hi, axis=-1)[..., 0]
-    z1 = jnp.take_along_axis(thr, idx_hi - 1, axis=-1)[..., 0]
-    p = _norm_cdf(z2 - g) - _norm_cdf(z1 - g)
-    terms = jnp.log(p + jnp.asarray(LL_FLOOR, g.dtype))
-    return jnp.where(y > 0, terms, jnp.zeros((), g.dtype))
+    z_lo, z_hi, mask = cutpoint_bounds(y, thresholds)
+    return ll_terms_from_bounds(g, z_lo, z_hi, mask)
 
 
 def ordinal_ll(

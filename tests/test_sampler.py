@@ -207,6 +207,83 @@ class TestEndToEnd:
         assert np.abs(resid).max() < 0.05, np.abs(resid).max()
 
 
+class TestThetaExactness:
+    """The authoritative theta-update correctness test: compare each method's
+    stationary distribution against brute-force enumeration of the exact
+    conditional posterior on the grid (H=2 GP regime, n=1, fixed fstar).
+
+    Expected: the grid-Gibbs method is exact (TV ~ MC error); the reference's
+    ESS-then-snap update carries a small discretization bias (it snaps a
+    continuous ESS draw to the grid rather than targeting the grid-restricted
+    conditional), which we bound rather than hide."""
+
+    def _setup(self):
+        from gpirt_tpu.models.config import GPIRTConfig as Cfg, make_constants as mk
+        from gpirt_tpu.models.gibbs import GPIRTState, _theta_ll_table
+        from gpirt_tpu.ops.kernels import time_gram_np
+
+        n, m, H, N = 1, 6, 2, 51
+        config = Cfg(n=n, m=m, horizon=H, C=2, dtype="float64", grid_size=N,
+                     theta_ls=2.0)
+        consts = mk(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                    np.zeros((2, n)), np.zeros((2, n)))
+        rng = np.random.default_rng(0)
+        y = jnp.asarray(rng.integers(1, 3, (H, n, m)), jnp.int32)
+        thr = binary_thresholds(m, H)
+        fstar = jnp.asarray(rng.standard_normal((H, N, m)) * 2)
+        state = GPIRTState(
+            theta_idx=jnp.full((H, n), N // 2, jnp.int32),
+            f=jnp.zeros((H, n, m)), beta=jnp.zeros((H, 3, m)),
+            thresholds=jnp.asarray(thr), fstar=fstar,
+        )
+        mu_star = jnp.zeros((H, N, m))
+
+        table = np.asarray(_theta_ll_table(fstar, mu_star, y, jnp.asarray(thr), 2))
+        Kt = time_gram_np(np.arange(H, dtype=float), np.arange(H, dtype=float),
+                          1.0, 2.0, np.zeros(2)) + config.jitter * np.eye(H)
+        Prec = np.linalg.inv(Kt)
+        grid = np.asarray(consts.grid)
+        G0, G1 = np.meshgrid(grid, grid, indexing="ij")
+        logj = (
+            -(Prec[0, 0] * G0**2 + 2 * Prec[0, 1] * G0 * G1 + Prec[1, 1] * G1**2) / 2
+            + table[0][:, 0][:, None] + table[1][:, 0][None, :]
+        )
+        pj = np.exp(logj - logj.max())
+        pj /= pj.sum()
+        return config, consts, state, mu_star, y, grid, pj
+
+    def _run_method(self, fn, config, consts, state, mu_star, y, iters=6000):
+        def step(idx, k):
+            return fn(k, state._replace(theta_idx=idx), mu_star, y, consts, config)
+
+        def scan_step(idx, k):
+            idx = step(idx, k)
+            return idx, idx
+
+        keys = jax.random.split(jax.random.key(1), iters)
+        _, hist = jax.jit(lambda i0, ks: jax.lax.scan(scan_step, i0, ks))(
+            state.theta_idx, keys
+        )
+        return np.asarray(hist[500:])  # (S, H, n)
+
+    @pytest.mark.parametrize("method,tv_bound", [("grid", 0.03), ("ess", 0.12)])
+    def test_stationary_matches_enumeration(self, method, tv_bound):
+        from gpirt_tpu.models.gibbs import _draw_theta_grid, _draw_theta_ess
+
+        config, consts, state, mu_star, y, grid, pj = self._setup()
+        fn = _draw_theta_grid if method == "grid" else _draw_theta_ess
+        hist = self._run_method(fn, config, consts, state, mu_star, y)
+        N = grid.size
+        h0 = np.bincount(hist[:, 0, 0], minlength=N) / hist.shape[0]
+        h1 = np.bincount(hist[:, 1, 0], minlength=N) / hist.shape[0]
+        tv0 = 0.5 * np.abs(h0 - pj.sum(1)).sum()
+        tv1 = 0.5 * np.abs(h1 - pj.sum(0)).sum()
+        assert tv0 < tv_bound and tv1 < tv_bound, (method, tv0, tv1)
+        if method == "grid":
+            # grid must be strictly exact (well under the ess bias)
+            assert tv0 < 0.03 and tv1 < 0.03
+
+
 class TestOrdinal:
     def test_ordinal_recovery(self):
         """Ordinal data (C=4) with graded-response structure."""
