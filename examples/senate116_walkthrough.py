@@ -1,0 +1,71 @@
+"""End-to-end senate116 walkthrough (the reference vignette workflow,
+vignettes/gpirt-vignette.Rmd:115-161, on TPU).
+
+Reshapes the tidy Voteview roll-call frame into a response matrix, runs the
+GP-IRT sampler, and reports ideology estimates with convergence diagnostics.
+
+Run:  python examples/senate116_walkthrough.py [--iters 5000] [--chains 4]
+"""
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--burn", type=int, default=500)
+    ap.add_argument("--chains", type=int, default=4)
+    ap.add_argument("--dtype", default="float32")
+    args = ap.parse_args()
+
+    from gpirt_tpu import gpirt_mcmc
+    from gpirt_tpu.utils.datasets import senate116_response_matrix
+    from gpirt_tpu.utils.diagnostics import (
+        align_theta_signs,
+        effective_sample_size,
+        split_rhat,
+    )
+
+    # 1. data: spread the tidy frame, recode to {-1, 1, NaN}, drop unanimous
+    rm, senators, rollcalls = senate116_response_matrix(verbose=True)
+    print(f"response matrix: {rm.shape[0]} senators x {rm.shape[1]} roll calls")
+
+    # 2. sample (vote_codes=None because rm is already response-coded)
+    samples = gpirt_mcmc(
+        np.asarray(rm),
+        sample_iterations=args.iters,
+        burn_iterations=args.burn,
+        CHAIN=args.chains,
+        vote_codes=None,
+        dtype=args.dtype,
+        SEED=1119,  # the vignette's seed
+    )
+
+    # 3. ideology estimates: sign-align draws (theta reflection), pool chains
+    theta = np.stack([c["theta"][:, :, 0] for c in samples])  # (K, S, n)
+    ref = theta[0, 0]
+    aligned = np.stack([align_theta_signs(c, reference=ref) for c in theta])
+    theta_hat = aligned.mean(axis=(0, 1))
+
+    ess = effective_sample_size(aligned)
+    rhat = split_rhat(aligned)
+    print(f"theta ESS: median {np.median(ess):.0f}, min {ess.min():.0f}")
+    print(f"split R-hat: max {np.nanmax(rhat):.3f}")
+
+    order = np.argsort(theta_hat)
+    print("\nmost conservative (highest theta):")
+    for i in order[-5:][::-1]:
+        print(f"  icpsr {senators[i]}: {theta_hat[i]:+.2f}")
+    print("most liberal (lowest theta):")
+    for i in order[:5]:
+        print(f"  icpsr {senators[i]}: {theta_hat[i]:+.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -388,5 +388,8 @@ def recover_fstar(
         L = theta_chol(theta_idx, consts, config)
     y_j = jnp.asarray(y)
     f_new = _draw_f_block(k_f, state, L, L_combined, mu, y_j, config)
-    fstar = _draw_fstar_block(k_fs, f_new, theta_idx, L, mu_star, consts, config)
+    fstar = _draw_fstar_block(k_fs, f_new, theta_idx, L, consts, config)
+    # returned IRF latent includes the parametric mean, like the reference
+    # (src/draw-fstar.cpp:52; linear mean per its 2-column X quirk)
+    fstar = fstar + mu_star
     return {"fstar": np.moveaxis(np.asarray(fstar), 0, 2)}

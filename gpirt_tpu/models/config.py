@@ -45,9 +45,46 @@ class GPIRTConfig:
     # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
 
+    def __post_init__(self):
+        if self.theta_method not in ("grid", "ess"):
+            raise ValueError(
+                f"theta_method must be 'grid' or 'ess', got {self.theta_method!r}"
+            )
+        if self.fstar_method not in ("matheron", "chol"):
+            raise ValueError(
+                f"fstar_method must be 'matheron' or 'chol', got {self.fstar_method!r}"
+            )
+        if self.dtype == "float64" and not jax.config.jax_enable_x64:
+            raise ValueError(
+                "dtype='float64' requires jax_enable_x64; set "
+                "jax.config.update('jax_enable_x64', True) before sampling, "
+                "or use dtype='float32' (the TPU default)."
+            )
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unsupported dtype {self.dtype!r}")
+
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def chol_normalized(self) -> bool:
+        """Correlation-form on-device Cholesky (float32 stability mode)."""
+        return self.dtype == "float32"
+
+    @property
+    def device_jitter(self) -> float:
+        """Nugget for on-device theta-Gram factorizations.
+
+        float64: the model nugget as-is (reference: absolute 1e-6).
+        float32: a correlation-scale nugget with an n-aware floor —
+        the normalized Cholesky's rounding error grows ~ n * eps32, so the
+        floor 4*eps32*n keeps the factorization finite for any theta
+        configuration (duplicated grid-snapped thetas included).
+        """
+        if self.dtype != "float32":
+            return self.jitter
+        return max(self.jitter, 1e-4, 4 * 1.19e-7 * self.n)
 
     @property
     def theta_regime(self) -> str:

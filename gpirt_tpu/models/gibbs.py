@@ -117,7 +117,10 @@ def gather_theta_gram(theta_idx: jnp.ndarray, consts: GPIRTConstants) -> jnp.nda
 
 def theta_chol(theta_idx: jnp.ndarray, consts: GPIRTConstants, config: GPIRTConfig):
     """Batched (H, n, n) Cholesky of the gathered theta Gram + jitter."""
-    return chol_with_jitter(gather_theta_gram(theta_idx, consts), config.jitter)
+    return chol_with_jitter(
+        gather_theta_gram(theta_idx, consts), config.device_jitter,
+        normalized=config.chol_normalized,
+    )
 
 
 def combined_theta_chol(theta_idx: jnp.ndarray, consts, config):
@@ -125,7 +128,7 @@ def combined_theta_chol(theta_idx: jnp.ndarray, consts, config):
     (reference src/draw-f.cpp:84-108)."""
     flat = theta_idx.reshape(-1)  # (H*n,) in [h*n + i] order
     gram = consts.grid_gram[flat[:, None], flat[None, :]]
-    return chol_with_jitter(gram, config.jitter)
+    return chol_with_jitter(gram, config.device_jitter, normalized=config.chol_normalized)
 
 
 def total_loglik(state: GPIRTState, y: jnp.ndarray, consts: GPIRTConstants) -> jnp.ndarray:
@@ -196,8 +199,20 @@ def draw_f(
 # ---------------------------------------------------------------------------
 
 
-def _fstar_matheron(key, f, theta_idx, L, mu_star, consts, config):
-    """Pathwise conditional draw on the grid; see module docstring."""
+def _fstar_matheron(key, f, theta_idx, L, consts, config):
+    """Pathwise conditional draw on the grid; see module docstring.
+
+    Returns the ZERO-MEAN GP conditional f* | f. Note a deliberate divergence
+    from the reference here: the reference folds mu_star into its fstar
+    (src/draw-fstar.cpp:52), then adds mu_star AGAIN in the theta likelihood
+    (src/draw-theta.cpp:17), and snaps the mu-inclusive fstar back into the
+    zero-mean f slot (src/gpirtMCMC.cpp:296) — double-counting the parametric
+    mean (it self-stabilizes only because beta then collapses toward its
+    prior and the composite kernel absorbs the mean). We keep f / f* strictly
+    zero-mean internally and add the mean exactly once at each use site; the
+    *returned* fstar draws add mu_star back for output parity (see
+    sampler.run_chain). Verified by the Geweke joint-distribution test.
+    """
     H, n, m = f.shape
     N = config.grid_size
     z = jax.random.normal(key, (H, N, m), f.dtype)
@@ -208,22 +223,23 @@ def _fstar_matheron(key, f, theta_idx, L, mu_star, consts, config):
     kstar = consts.grid_gram[theta_idx]  # (H, n, N)
     V = tri_solve(L, kstar)  # (H, n, N)
     w = tri_solve(L, f - u_theta)  # (H, n, m)
-    return ustar + jnp.einsum("hna,hnm->ham", V, w) + mu_star
+    return ustar + jnp.einsum("hna,hnm->ham", V, w)
 
 
-def _fstar_chol(key, f, theta_idx, L, mu_star, consts, config):
-    """Reference-style posterior Cholesky draw (src/draw-fstar.cpp:20-57)."""
+def _fstar_chol(key, f, theta_idx, L, consts, config):
+    """Reference-style posterior Cholesky draw (src/draw-fstar.cpp:20-57),
+    zero-mean like _fstar_matheron (the mean is added at use/output sites)."""
     kstar = consts.grid_gram[theta_idx]  # (H, n, N)
     V = tri_solve(L, kstar)  # L^{-1} K*
     K_post = consts.grid_gram[None] - jnp.einsum("hna,hnb->hab", V, V)
     L_post = chol_with_jitter(K_post, config.jitter)
     w = tri_solve(L, f)  # whitened f
-    mean = jnp.einsum("hna,hnm->ham", V, w) + mu_star
+    mean = jnp.einsum("hna,hnm->ham", V, w)
     z = jax.random.normal(key, mean.shape, f.dtype)
     return mean + jnp.einsum("hab,hbm->ham", L_post, z)
 
 
-def _fstar_constant_irf(key, f, theta_idx, mu_star, consts, config):
+def _fstar_constant_irf(key, f, theta_idx, consts, config):
     """constant_IRF path: 100 inducing points + linear interpolation
     (reference src/draw-fstar.cpp:58-125), Matheron-ized.
 
@@ -247,7 +263,7 @@ def _fstar_constant_irf(key, f, theta_idx, mu_star, consts, config):
 
     sds = consts.beta_prior_sds[:, 0]
     K_ind = icc_gram(inducing, inducing, sds)
-    L_ind = chol_with_jitter(K_ind, config.jitter)
+    L_ind = chol_with_jitter(K_ind, config.device_jitter, normalized=config.chol_normalized)
     kstar = icc_gram(inducing, consts.grid, sds)  # (p, N)
 
     z = jax.random.normal(key, (N, m), dt)
@@ -255,7 +271,7 @@ def _fstar_constant_irf(key, f, theta_idx, mu_star, consts, config):
     u_ind = jax.vmap(lambda col: jnp.interp(inducing, consts.grid, col), 1, 1)(ustar)
     V = tri_solve(L_ind, kstar)  # (p, N)
     w = tri_solve(L_ind, f_ind - u_ind)  # (p, m)
-    fstar0 = ustar + V.T @ w + mu_star[0]
+    fstar0 = ustar + V.T @ w
     return jnp.broadcast_to(fstar0[None], (H, N, m))
 
 
@@ -264,15 +280,16 @@ def draw_fstar(
     f: jnp.ndarray,
     theta_idx: jnp.ndarray,
     L: jnp.ndarray,
-    mu_star: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
 ) -> jnp.ndarray:
+    """Zero-mean GP conditional draw of f* | f on the grid. Add mu_star at
+    the use site (theta likelihood) or output boundary (stored draws)."""
     if config.constant_IRF:
-        return _fstar_constant_irf(key, f, theta_idx, mu_star, consts, config)
+        return _fstar_constant_irf(key, f, theta_idx, consts, config)
     if config.fstar_method == "matheron":
-        return _fstar_matheron(key, f, theta_idx, L, mu_star, consts, config)
-    return _fstar_chol(key, f, theta_idx, L, mu_star, consts, config)
+        return _fstar_matheron(key, f, theta_idx, L, consts, config)
+    return _fstar_chol(key, f, theta_idx, L, consts, config)
 
 
 # ---------------------------------------------------------------------------
@@ -607,8 +624,7 @@ def init_state(
     )
     # initial fstar draw before the loop (src/gpirtMCMC.cpp:227)
     L = theta_chol(theta_idx, consts, config)
-    mu_star = compute_mu_star(consts, beta)
-    fstar = draw_fstar(k_fstar, f, theta_idx, L, mu_star, consts, config)
+    fstar = draw_fstar(k_fstar, f, theta_idx, L, consts, config)
     return state._replace(fstar=fstar)
 
 
@@ -645,7 +661,7 @@ def gibbs_sweep(
     state = state._replace(f=f)
 
     # 2. f* (uses theta from *before* the theta update, like the reference)
-    fstar = draw_fstar(k_fs, f, state.theta_idx, L, mu_star, consts, config)
+    fstar = draw_fstar(k_fs, f, state.theta_idx, L, consts, config)
     state = state._replace(fstar=fstar)
 
     # 3. theta (grid-snapped)

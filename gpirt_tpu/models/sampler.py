@@ -23,6 +23,7 @@ import numpy as np
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
 from gpirt_tpu.models.gibbs import (
     GPIRTState,
+    compute_mu_star,
     gibbs_sweep,
     init_state,
     theta_from_indices,
@@ -129,7 +130,14 @@ def run_chain(
         if store_f:
             out["f"] = state.f
         if store_fstar:
-            out["fstar"] = state.fstar
+            # stored fstar includes the parametric mean, matching the
+            # reference's returned IRF latent (src/draw-fstar.cpp:52);
+            # internally fstar is the zero-mean GP part. constant_IRF shares
+            # the slice-0 mean across horizons (src/draw-fstar.cpp:115-124).
+            ms = compute_mu_star(consts, state.beta)
+            if config.constant_IRF:
+                ms = jnp.broadcast_to(ms[:1], ms.shape)
+            out["fstar"] = state.fstar + ms
         return out
 
     if sched.n_samples == 0:

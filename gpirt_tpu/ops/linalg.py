@@ -22,17 +22,35 @@ __all__ = [
 ]
 
 
-def chol_with_jitter(gram: jnp.ndarray, jitter: float) -> jnp.ndarray:
-    """Lower Cholesky of ``gram + jitter*I`` over trailing (n, n) axes.
+def chol_with_jitter(
+    gram: jnp.ndarray, jitter: float, *, normalized: bool = False
+) -> jnp.ndarray:
+    """Lower Cholesky of the jittered Gram over trailing (n, n) axes.
 
     ``jnp.linalg.cholesky`` batches over leading axes natively, so a stack of
     per-horizon factors is one fused call (the reference loops horizons and
     recomputes these twice per iteration, src/draw-f.cpp:59 +
     src/gpirtMCMC.cpp:314; we compute once).
+
+    ``normalized=True`` is the float32 stability mode: factor the
+    *correlation* form, K = D^{1/2} C D^{1/2} with unit-diagonal C, as
+    D^{1/2} chol(C + jitter*I). The ICC Gram's diagonal spans ~4 orders of
+    magnitude (the quadratic kernel term grows as theta^4), which pushes a
+    raw float32 factorization past breakdown once n is a few hundred;
+    normalizing bounds the rounding error by ~n*eps32 independent of the
+    kernel scale. The effective model nugget becomes *relative* —
+    jitter * k(theta_i, theta_i) per point — vs the reference's absolute
+    float64 1e-6 (documented in README parity notes).
     """
     n = gram.shape[-1]
     eye = jnp.eye(n, dtype=gram.dtype)
-    return jnp.linalg.cholesky(gram + jitter * eye)
+    if not normalized:
+        return jnp.linalg.cholesky(gram + jitter * eye)
+    d = jnp.sqrt(jnp.diagonal(gram, axis1=-2, axis2=-1))  # (..., n)
+    inv = 1.0 / d
+    C = gram * (inv[..., :, None] * inv[..., None, :])
+    Lc = jnp.linalg.cholesky(C + jitter * eye)
+    return d[..., :, None] * Lc
 
 
 def tri_solve(L: jnp.ndarray, b: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:

@@ -1,0 +1,89 @@
+"""Block-level device profiling for the Gibbs sweep.
+
+The reference's only observability is a progress percentage and an upfront
+memory table (src/gpirtMCMC.cpp:60-82, 257-263). This module times each Gibbs
+block ON DEVICE by scanning it K times inside a single compiled program
+(one dispatch per block, so per-call host overhead doesn't pollute the
+numbers), plus the fused full sweep.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
+from gpirt_tpu.models import gibbs as G
+
+__all__ = ["profile_sweep", "device_time"]
+
+
+def device_time(step_fn, init, reps: int = 20) -> float:
+    """Seconds per application of ``step_fn`` (carry, i) -> carry, measured
+    by scanning it ``reps`` times inside one jit (compile excluded)."""
+
+    @jax.jit
+    def run(init):
+        def body(c, i):
+            return step_fn(c, i), ()
+
+        c, _ = jax.lax.scan(body, init, jnp.arange(reps))
+        return c
+
+    jax.block_until_ready(run(init))  # compile
+    t0 = time.time()
+    jax.block_until_ready(run(init))
+    return (time.time() - t0) / reps
+
+
+def profile_sweep(
+    state: "G.GPIRTState",
+    y: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+    reps: int = 20,
+) -> Dict[str, float]:
+    """Per-block and full-sweep seconds on the current default device."""
+    key = jax.random.key(0)
+    theta = G.theta_from_indices(state.theta_idx, consts)
+    mu = G.compute_mu(theta, state.beta)
+    mu_star = G.compute_mu_star(consts, state.beta)
+    L = None if config.constant_IRF else G.theta_chol(state.theta_idx, consts, config)
+    Lc = G.combined_theta_chol(state.theta_idx, consts, config) if config.constant_IRF else None
+    jax.block_until_ready((mu, mu_star))
+
+    out = {}
+    out["full_sweep"] = device_time(
+        lambda s, i: G.gibbs_sweep(s, jax.random.fold_in(key, i), y, consts, config)[0],
+        state, reps,
+    )
+    if not config.constant_IRF:
+        out["theta_chol"] = device_time(
+            lambda c, i: G.theta_chol(state.theta_idx, consts, config)[:, :1, :1] * 0 + c,
+            jnp.zeros((state.f.shape[0], 1, 1), config.jdtype),
+            reps,
+        )
+    out["draw_f"] = device_time(
+        lambda f, i: G.draw_f(jax.random.fold_in(key, i), state._replace(f=f), L, Lc, mu, y, config),
+        state.f, reps,
+    )
+    out["draw_fstar"] = device_time(
+        lambda fs, i: G.draw_fstar(jax.random.fold_in(key, i), state.f, state.theta_idx, L, consts, config),
+        state.fstar, reps,
+    )
+    out["draw_theta"] = device_time(
+        lambda ti, i: G.draw_theta(jax.random.fold_in(key, i), state._replace(theta_idx=ti), mu_star, y, consts, config),
+        state.theta_idx, reps,
+    )
+    out["draw_beta"] = device_time(
+        lambda b, i: G.draw_beta(jax.random.fold_in(key, i), b, theta, state.f, state.thresholds, y, consts, config),
+        state.beta, reps,
+    )
+    out["draw_threshold"] = device_time(
+        lambda t, i: G.draw_threshold(jax.random.fold_in(key, i), t, state.f, mu, y, config),
+        state.thresholds, reps,
+    )
+    return out

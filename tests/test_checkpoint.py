@@ -1,0 +1,83 @@
+"""Checkpoint/resume: interrupted + resumed == uninterrupted, bitwise."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpirt_tpu.models import GPIRTConfig, make_constants
+from gpirt_tpu.models.sampler import run_chain
+from gpirt_tpu.utils.checkpoint import CheckpointManager, run_chain_checkpointed
+
+from test_sampler import sim_2pl, binary_thresholds, default_priors
+
+
+def _setup():
+    _, y = sim_2pl(0, n=10, m=5)
+    H, n, m = y.shape
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64", grid_size=101)
+    consts = make_constants(config, **default_priors(n, m))
+    return jnp.asarray(y), np.linspace(-2, 2, n)[None], binary_thresholds(m), consts, config
+
+
+class TestCheckpoint:
+    def test_matches_run_chain(self, tmp_path):
+        y, ti, thr, consts, config = _setup()
+        key = jax.random.key(3)
+        kw = dict(sample_iterations=9, burn_iterations=4, thin=2)
+        plain = run_chain(key, y, ti, thr, consts, config, **kw)
+        mgr = CheckpointManager(os.path.join(tmp_path, "ck.npz"))
+        ck = run_chain_checkpointed(
+            key, y, ti, thr, consts, config, manager=mgr, checkpoint_every=5, **kw
+        )
+        # identical key schedule => same draws up to compilation-level float
+        # associativity (chunked vs nested scans compile differently)
+        np.testing.assert_array_equal(np.asarray(plain["theta"]), ck["theta"])
+        np.testing.assert_allclose(np.asarray(plain["beta"]), ck["beta"], rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(plain["ll"]), ck["ll"], rtol=1e-12)
+
+    def test_resume_after_interrupt(self, tmp_path):
+        y, ti, thr, consts, config = _setup()
+        key = jax.random.key(4)
+        kw = dict(sample_iterations=10, burn_iterations=2, thin=1)
+        path = os.path.join(tmp_path, "ck.npz")
+
+        # full uninterrupted run
+        full = run_chain_checkpointed(
+            key, y, ti, thr, consts, config,
+            manager=CheckpointManager(os.path.join(tmp_path, "full.npz")),
+            checkpoint_every=4, **kw,
+        )
+
+        # "interrupted": run only 1 chunk by doing a partial total, then resume
+        mgr = CheckpointManager(path)
+        partial_kw = dict(sample_iterations=2, burn_iterations=2, thin=1)
+        run_chain_checkpointed(
+            key, y, ti, thr, consts, config, manager=mgr, checkpoint_every=4,
+            **partial_kw,
+        )
+        assert mgr.exists()
+        resumed = run_chain_checkpointed(
+            key, y, ti, thr, consts, config, manager=mgr, checkpoint_every=4, **kw
+        )
+        np.testing.assert_array_equal(full["theta"], resumed["theta"])
+        np.testing.assert_array_equal(full["ll"], resumed["ll"])
+
+    def test_manager_roundtrip(self, tmp_path):
+        from gpirt_tpu.models.gibbs import GPIRTState
+
+        st = GPIRTState(
+            theta_idx=jnp.ones((1, 3), jnp.int32),
+            f=jnp.ones((1, 3, 2)),
+            beta=jnp.zeros((1, 3, 2)),
+            thresholds=jnp.zeros((1, 2, 3)),
+            fstar=jnp.zeros((1, 5, 2)),
+        )
+        mgr = CheckpointManager(os.path.join(tmp_path, "x.npz"))
+        assert mgr.load() is None
+        mgr.save(st, {"iteration": 7}, {"theta": np.ones((2, 3))})
+        st2, meta, draws = mgr.load()
+        assert meta["iteration"] == 7
+        np.testing.assert_array_equal(np.asarray(st.f), np.asarray(st2.f))
+        np.testing.assert_array_equal(draws["theta"], np.ones((2, 3)))

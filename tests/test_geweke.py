@@ -1,0 +1,96 @@
+"""Geweke (2004) joint-distribution test of the full Gibbs sweep.
+
+Forward: draw (state, y) from the generative model repeatedly.
+Successive-conditional: alternate one Gibbs sweep (state | y) with a response
+redraw (y | state). If every block targets its exact conditional, the
+successive chain's stationary distribution equals the forward joint, so
+moments of any statistic must agree up to MC error. This catches conditioning
+bugs in any of the five blocks — a far stronger oracle than the reference's
+test suite (which never tests the sampler at all, SURVEY.md section 4).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpirt_tpu.models.config import GPIRTConfig, make_constants
+from gpirt_tpu.models.gibbs import gibbs_sweep, theta_from_indices
+from gpirt_tpu.models.generate import sample_prior_state, sample_responses
+
+
+def _stats(state, consts):
+    """Scalar summary statistics of a state (means and second moments)."""
+    theta = theta_from_indices(state.theta_idx, consts)
+    t1 = state.thresholds[..., 1]
+    return jnp.stack(
+        [
+            jnp.mean(theta),
+            jnp.mean(theta**2),
+            jnp.mean(state.beta),
+            jnp.mean(state.beta**2),
+            jnp.mean(state.fstar[:, ::25, :]),
+            jnp.mean(state.fstar[:, ::25, :] ** 2),
+            jnp.mean(t1),
+            jnp.mean(t1**2),
+        ]
+    )
+
+
+class TestGeweke:
+    def test_joint_distribution(self):
+        n, m, H, C, N = 6, 3, 1, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64")
+        consts = make_constants(
+            config,
+            beta_prior_means=np.zeros((3, m)),
+            beta_prior_sds=np.full((3, m), 1.5),
+            theta_prior_means=np.zeros((2, n)),
+            theta_prior_sds=np.zeros((2, n)),
+        )
+        M_fwd = 4000
+        M_sc = 12000
+        thin = 3
+
+        # ---- forward samples
+        @jax.jit
+        def forward(key):
+            k1, k2 = jax.random.split(key)
+            st = sample_prior_state(k1, consts, config)
+            y = sample_responses(k2, st, consts, config)
+            return _stats(st, consts)
+
+        keys = jax.random.split(jax.random.key(0), M_fwd)
+        fwd = np.asarray(jax.vmap(forward)(keys))  # (M, 8)
+
+        # ---- successive-conditional chain
+        @jax.jit
+        def sc_step(carry, key):
+            st, y = carry
+            k1, k2 = jax.random.split(key)
+            st, _ = gibbs_sweep(st, k1, y, consts, config)
+            y = sample_responses(k2, st, consts, config)
+            return (st, y), _stats(st, consts)
+
+        k0, k1, kr = jax.random.split(jax.random.key(1), 3)
+        st0 = sample_prior_state(k0, consts, config)
+        y0 = sample_responses(k1, st0, consts, config)
+        sc_keys = jax.random.split(kr, M_sc)
+        _, sc = jax.lax.scan(sc_step, (st0, y0), sc_keys)
+        sc = np.asarray(sc)[500::thin]  # burn + thin the dependent chain
+
+        # ---- compare moments with MC-error-aware z-scores
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        fails = []
+        for j, name in enumerate(names):
+            mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
+            x = sc[:, j]
+            # batch-means variance for the autocorrelated chain
+            B = 40
+            nb = len(x) // B
+            bm = x[: nb * B].reshape(nb, B).mean(axis=1)
+            vs = bm.var(ddof=1) / nb
+            z = (mf - x.mean()) / np.sqrt(vf + vs + 1e-12)
+            if abs(z) > 4.5:
+                fails.append((name, float(z), float(mf), float(x.mean())))
+        assert not fails, fails

@@ -187,13 +187,12 @@ class TestEndToEnd:
         L = theta_chol(idx, consts, config)
         z = rng.standard_normal((n, m))
         f = jnp.asarray((np.asarray(L[0]) @ z)[None])
-        mu_star = jnp.zeros((H, N, m))
 
         S = 3000
         keys = jax.random.split(jax.random.key(1), S)
         outs = {}
         for name, fn in (("matheron", _fstar_matheron), ("chol", _fstar_chol)):
-            draws = jax.vmap(lambda k: fn(k, f, idx, L, mu_star, consts, config))(keys)
+            draws = jax.vmap(lambda k: fn(k, f, idx, L, consts, config))(keys)
             outs[name] = np.asarray(draws[:, 0])  # (S, N, m)
         a, b = outs["matheron"], outs["chol"]
         mean_scale = np.abs(b.mean(0)).max() + 1.0
