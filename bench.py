@@ -1,4 +1,12 @@
-"""Benchmark: effective samples/sec on senate116 (BASELINE.json north star).
+"""Benchmarks for the BASELINE.json configs. Default: the north-star metric,
+effective samples/sec on senate116.
+
+Other configs (python bench.py --config X):
+  senate116  binary roll-call GP-IRT, 8 vmapped chains (default)
+  sdo        SDO ordinal-response GP-IRT (cutpoint path)
+  synthetic  5k respondents x 1k items (large Gram/Cholesky, batched ESS)
+  chains64   64 chains sharded over the local device mesh, pooled R-hat/ESS
+  fstar10k   dense fstar recovery on a 10k-point theta grid
 
 Runs the TPU-native sampler on the bundled senate116 roll-call data (binary
 GP-IRT, the reference vignette workload) and reports the median effective
@@ -22,8 +30,19 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# amortize TPU compiles across invocations
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 import numpy as np
+
+_T0 = time.time()
+
+
+def _log(msg):
+    print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8):
@@ -71,14 +90,17 @@ def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8):
             sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         )
 
+    _log("warmup/compile start")
     t_compile = time.time()
     jax.block_until_ready(go(99))
     t_compile = time.time() - t_compile
+    _log(f"warmup done ({t_compile:.1f}s); timed run start")
 
     t0 = time.time()
     draws = go(1)
     jax.block_until_ready(draws)
     wall = time.time() - t0
+    _log(f"timed run done ({wall:.1f}s)")
 
     theta = np.asarray(draws["theta"])[:, :, 0]  # (K, S, n)
     ref = theta[0, 0]
@@ -147,10 +169,172 @@ def measure_native_baseline(repo_root, iters=10):
         return None
 
 
+def bench_sdo(sample_iterations=500, burn_iterations=200):
+    """SDO ordinal config: iterations/sec on the full 1500x16, C=5 survey."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpirt_tpu.models import GPIRTConfig, make_constants
+    from gpirt_tpu.models.sampler import run_chain
+    from gpirt_tpu.utils.datasets import load_sdo
+    from gpirt_tpu.utils.response import encode_categories
+    from gpirt_tpu.api import default_thresholds
+
+    y, C, _ = encode_categories(load_sdo())
+    H, n, m = y.shape
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype="float32")
+    consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                            np.zeros((2, n)), np.zeros((2, n)))
+    thr = default_thresholds(C, m, H)
+    ti = np.random.default_rng(0).permutation(np.linspace(-2, 2, n))[None]
+    yj = jnp.asarray(y)
+
+    def go(seed):
+        return run_chain(jax.random.key(seed), yj, ti, thr, consts, config,
+                         sample_iterations=sample_iterations,
+                         burn_iterations=burn_iterations)
+
+    jax.block_until_ready(go(9))
+    t0 = time.time()
+    d = go(1)
+    jax.block_until_ready(d)
+    wall = time.time() - t0
+    total = sample_iterations + burn_iterations
+    return {"metric": "iterations/sec, SDO ordinal GP-IRT (1500x16, C=5)",
+            "value": round(total / wall, 2), "unit": "iters/sec",
+            "vs_baseline": None,
+            "detail": {"ll_final": float(np.asarray(d["ll"])[-1]),
+                       "platform": jax.devices()[0].platform}}
+
+
+def bench_synthetic(n=5000, m=1000, sample_iterations=30, burn_iterations=10):
+    """5k x 1k synthetic: large gathered Gram + Cholesky, batched ESS."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpirt_tpu.models import GPIRTConfig, make_constants
+    from gpirt_tpu.models.sampler import run_chain
+    from gpirt_tpu.utils.datasets import simulate_2pl
+    from gpirt_tpu.utils.response import encode_categories
+    from gpirt_tpu.api import default_thresholds
+
+    _, raw = simulate_2pl(0, n=n, m=m, missing=0.1)
+    y, C, _ = encode_categories(raw)
+    config = GPIRTConfig(n=n, m=m, horizon=1, C=C, dtype="float32")
+    consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                            np.zeros((2, n)), np.zeros((2, n)))
+    thr = default_thresholds(C, m, 1)
+    ti = np.random.default_rng(0).permutation(np.linspace(-3, 3, n))[None]
+    yj = jnp.asarray(y)
+
+    def go(seed):
+        return run_chain(jax.random.key(seed), yj, ti, thr, consts, config,
+                         sample_iterations=sample_iterations,
+                         burn_iterations=burn_iterations)
+
+    jax.block_until_ready(go(9))
+    t0 = time.time()
+    d = go(1)
+    jax.block_until_ready(d)
+    wall = time.time() - t0
+    total = sample_iterations + burn_iterations
+    return {"metric": f"iterations/sec, synthetic {n}x{m} GP-IRT",
+            "value": round(total / wall, 2), "unit": "iters/sec",
+            "vs_baseline": None,
+            "detail": {"ll_final": float(np.asarray(d["ll"])[-1]),
+                       "platform": jax.devices()[0].platform}}
+
+
+def bench_chains64(sample_iterations=300, burn_iterations=100):
+    """64 chains over the local device mesh with pooled R-hat/ESS."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpirt_tpu.models import GPIRTConfig, make_constants
+    from gpirt_tpu.parallel import run_chains, make_chain_mesh, chain_keys
+    from gpirt_tpu.utils.datasets import senate116_response_matrix
+    from gpirt_tpu.utils.diagnostics import align_theta_signs, effective_sample_size, split_rhat
+    from gpirt_tpu.utils.response import encode_categories
+    from gpirt_tpu.api import default_thresholds
+
+    rm, _, _ = senate116_response_matrix()
+    y, C, _ = encode_categories(np.asarray(rm))
+    H, n, m = y.shape
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype="float32")
+    consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                            np.zeros((2, n)), np.zeros((2, n)))
+    thr = default_thresholds(C, m, H)
+    rng = np.random.default_rng(0)
+    K = 64
+    ti = np.stack([rng.permutation(np.linspace(-2, 2, n))[None] for _ in range(K)])
+    mesh = make_chain_mesh() if jax.device_count() > 1 else None
+    yj = jnp.asarray(y)
+
+    t0 = time.time()
+    d = run_chains(chain_keys(1, K), yj, ti, thr, consts, config,
+                   sample_iterations=sample_iterations,
+                   burn_iterations=burn_iterations, mesh=mesh)
+    jax.block_until_ready(d)
+    wall = time.time() - t0  # includes compile; chains64 is a scale demo
+    theta = np.asarray(d["theta"])[:, :, 0]
+    ref = theta[0, 0]
+    aligned = np.stack([align_theta_signs(c, reference=ref) for c in theta])
+    ess = effective_sample_size(aligned)
+    rh = split_rhat(aligned)
+    return {"metric": "pooled theta ESS/sec, 64 chains on local mesh",
+            "value": round(float(np.median(ess)) / wall, 3),
+            "unit": "ess/sec", "vs_baseline": None,
+            "detail": {"devices": jax.device_count(),
+                       "rhat_max": round(float(np.nanmax(rh)), 3),
+                       "wall_incl_compile": round(wall, 1),
+                       "platform": jax.devices()[0].platform}}
+
+
+def bench_fstar10k(grid_size=10001):
+    """Dense fstar recovery on a 10k-point grid (batched conditional GP)."""
+    import jax
+
+    from gpirt_tpu.api import gpirt_mcmc, recover_fstar
+    from gpirt_tpu.utils.datasets import simulate_2pl
+    from gpirt_tpu.utils.response import as_response_matrix
+
+    _, raw = simulate_2pl(0, n=100, m=50)
+    codes = {"yea": 1, "nay": 0, "missing": None}
+    out = gpirt_mcmc(raw, 2, 0, vote_codes=codes, store_f=True, verbose=False)
+    d = out[0]
+    rm = np.asarray(as_response_matrix(raw, codes, verbose=False))
+    # warm-up at the target grid
+    recover_fstar(1, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
+                  d["threshold"][-1], grid_size=grid_size)
+    t0 = time.time()
+    rec = recover_fstar(2, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
+                        d["threshold"][-1], grid_size=grid_size)
+    wall = time.time() - t0
+    assert np.isfinite(rec["fstar"]).all()
+    return {"metric": f"dense fstar recovery, {grid_size}-point grid (n=100, m=50)",
+            "value": round(wall, 3), "unit": "sec", "vs_baseline": None,
+            "detail": {"platform": jax.devices()[0].platform}}
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="senate116",
+                    choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k"])
+    args = ap.parse_args()
     repo_root = os.path.dirname(os.path.abspath(__file__))
+
+    if args.config != "senate116":
+        fn = {"sdo": bench_sdo, "synthetic": bench_synthetic,
+              "chains64": bench_chains64, "fstar10k": bench_fstar10k}[args.config]
+        print(json.dumps(fn()))
+        return
+
     res = run_tpu_bench()
+    _log("tpu bench done; measuring native baseline")
     baseline_sec_per_iter = measure_native_baseline(repo_root)
+    _log("baseline done")
     if baseline_sec_per_iter:
         baseline_esps = res["ess_per_iter"] / baseline_sec_per_iter
         vs_baseline = res["ess_per_sec"] / baseline_esps
