@@ -45,7 +45,8 @@ def _log(msg):
     print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8):
+def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8,
+                  f_method="grid"):
     """senate116 binary GP-IRT: n_chains vmapped chains on one chip.
 
     The ESS is pooled across chains (chains are the TPU's free batch axis —
@@ -67,7 +68,8 @@ def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8):
     H, n, m = y.shape
 
     dtype = "float32"
-    config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype=dtype, jitter=1e-4)
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype=dtype, jitter=1e-4,
+                         f_method=f_method)
     consts = make_constants(
         config,
         beta_prior_means=np.zeros((3, m)),
@@ -102,11 +104,15 @@ def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=8):
     wall = time.time() - t0
     _log(f"timed run done ({wall:.1f}s)")
 
-    theta = np.asarray(draws["theta"])[:, :, 0]  # (K, S, n)
-    ref = theta[0, 0]
-    aligned = np.stack([align_theta_signs(c, reference=ref) for c in theta])
-    ess = effective_sample_size(aligned)  # (n,)
+    # ESS computed ON DEVICE: shipping the multi-MB draw array through the
+    # tunneled device->host path can take minutes; only (n,) scalars return.
+    from gpirt_tpu.utils.diagnostics import effective_sample_size_device
+
+    ess = np.asarray(
+        jax.jit(effective_sample_size_device)(draws["theta"][:, :, 0])
+    )
     ess_median = float(np.median(ess))
+    _log("device ESS done")
     total_iters = sample_iterations + burn_iterations
     return {
         "ess_median": ess_median,
@@ -207,7 +213,7 @@ def bench_sdo(sample_iterations=500, burn_iterations=200):
                        "platform": jax.devices()[0].platform}}
 
 
-def bench_synthetic(n=5000, m=1000, sample_iterations=30, burn_iterations=10):
+def bench_synthetic(n=5000, m=1000, sample_iterations=10, burn_iterations=5):
     """5k x 1k synthetic: large gathered Gram + Cholesky, batched ESS."""
     import jax
     import jax.numpy as jnp
@@ -322,6 +328,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="senate116",
                     choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k"])
+    ap.add_argument("--f-method", default="grid", choices=["grid", "two_stage"])
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.abspath(__file__))
 
@@ -331,7 +338,7 @@ def main():
         print(json.dumps(fn()))
         return
 
-    res = run_tpu_bench()
+    res = run_tpu_bench(f_method=args.f_method)
     _log("tpu bench done; measuring native baseline")
     baseline_sec_per_iter = measure_native_baseline(repo_root)
     _log("baseline done")

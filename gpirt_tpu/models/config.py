@@ -44,11 +44,18 @@ class GPIRTConfig:
     theta_method: str = "grid"  # "grid" (exact conditional, documented in the
     # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
+    mix_subsweeps: int = 1  # extra (fstar -> theta -> snap) passes per sweep
+    f_method: str = "grid"  # "grid" (direct f* ESS, no per-iter Cholesky) |
+    # "two_stage" (the reference's draw_f + draw_fstar pipeline)
 
     def __post_init__(self):
         if self.theta_method not in ("grid", "ess"):
             raise ValueError(
                 f"theta_method must be 'grid' or 'ess', got {self.theta_method!r}"
+            )
+        if self.f_method not in ("grid", "two_stage"):
+            raise ValueError(
+                f"f_method must be 'grid' or 'two_stage', got {self.f_method!r}"
             )
         if self.fstar_method not in ("matheron", "chol"):
             raise ValueError(

@@ -292,6 +292,72 @@ def draw_fstar(
     return _fstar_chol(key, f, theta_idx, L, consts, config)
 
 
+def draw_fstar_direct(
+    key: jax.Array,
+    state: GPIRTState,
+    mu: jnp.ndarray,
+    y: jnp.ndarray,
+    config: GPIRTConfig,
+    consts: GPIRTConstants,
+):
+    """Grid-native latent update (f_method="grid"): ESS directly on f*.
+
+    Because theta is snapped to the grid, f is *identically* f*[theta_idx]
+    rows — the reference's two-stage pipeline (n-dim ESS on f, then the
+    conditional f* | f, src/draw-f.cpp + src/draw-fstar.cpp) factors the same
+    object twice and pays a fresh K(theta,theta) Cholesky every iteration.
+    Here each item's full grid function f*_j is updated by one ESS move with
+    the PRECOMPUTED grid Cholesky prior (nu = L_grid z) and a likelihood that
+    just gathers the rows at theta_idx. Zero per-iteration factorizations at
+    ANY n — the dominant cost of the reference's sampler disappears entirely.
+
+    Differences from the two-stage pipeline (documented): respondents sharing
+    a grid point share their latent value exactly (the reference separates
+    them by its 1e-6 nugget), and the off-position part of f* makes one
+    elliptical move instead of an exact conditional redraw. Both are
+    O(nugget)/mixing-rate effects; the stationary distribution is validated
+    by the Geweke joint-distribution test with f_method="grid".
+
+    Returns (fstar, f) with f = f*[theta_idx].
+    """
+    H, N, m = state.fstar.shape
+    idx = state.theta_idx  # (H, n)
+    k_nu, k_ess = jax.random.split(key)
+    z_lo, z_hi, mask = cutpoint_bounds(y, state.thresholds)  # (H, n, m)
+
+    if config.constant_IRF:
+        # one shared grid function across horizons: lanes (m,), sites N
+        z = jax.random.normal(k_nu, (N, m), state.fstar.dtype)
+        nu = consts.L_grid @ z  # (N, m)
+        x = state.fstar[0].T  # (m, N)
+
+        def loglik(xt):  # (m, N) -> (m,)
+            fst = jnp.broadcast_to(xt.T[None], (H, N, m))
+            f_at = jnp.take_along_axis(fst, idx[:, :, None], axis=1)
+            return jnp.sum(ll_terms_from_bounds(f_at + mu, z_lo, z_hi, mask),
+                           axis=(0, 1))
+
+        x_new = ess_update(k_ess, x, nu.T, loglik, max_rounds=config.ess_max_rounds)
+        fstar = jnp.broadcast_to(x_new.T[None], (H, N, m))
+    else:
+        z = jax.random.normal(k_nu, (H, N, m), state.fstar.dtype)
+        nu = jnp.einsum("ab,hbm->ham", consts.L_grid, z)  # (H, N, m)
+        x = jnp.swapaxes(state.fstar, 1, 2)  # (H, m, N)
+        nu_t = jnp.swapaxes(nu, 1, 2)
+
+        def loglik(xt):  # (H, m, N) -> (H, m)
+            fst = jnp.swapaxes(xt, 1, 2)  # (H, N, m)
+            f_at = jnp.take_along_axis(fst, idx[:, :, None], axis=1)  # (H,n,m)
+            return jnp.sum(ll_terms_from_bounds(f_at + mu, z_lo, z_hi, mask),
+                           axis=1)
+
+        x_new = ess_update(k_ess, x, nu_t, loglik, max_rounds=config.ess_max_rounds)
+        fstar = jnp.swapaxes(x_new, 1, 2)
+
+    f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
+    return fstar, f
+
+
 # ---------------------------------------------------------------------------
 # block: draw_theta
 # ---------------------------------------------------------------------------
@@ -595,6 +661,32 @@ def init_state(
     theta_idx = snap_indices(jnp.asarray(theta_init, dt), config)  # (H, n)
     k_beta, k_f, k_fstar = jax.random.split(key, 3)
 
+    if config.f_method == "grid":
+        # grid-native init: f* ~ GP prior on the grid (precomputed factor),
+        # f = its rows at theta — no n x n factorization even at startup.
+        if config.constant_IRF:
+            z_b = jax.random.normal(k_beta, (1, 3, m), dt)
+            beta = jnp.broadcast_to(
+                consts.beta_prior_means + z_b * consts.beta_prior_sds, (H, 3, m)
+            )
+            z = jax.random.normal(k_f, (config.grid_size, m), dt)
+            fstar = jnp.broadcast_to(
+                (consts.L_grid @ z)[None], (H, config.grid_size, m)
+            )
+        else:
+            z_b = jax.random.normal(k_beta, (H, 3, m), dt)
+            beta = consts.beta_prior_means[None] + z_b * consts.beta_prior_sds[None]
+            z = jax.random.normal(k_f, (H, config.grid_size, m), dt)
+            fstar = jnp.einsum("ab,hbm->ham", consts.L_grid, z)
+        f = jnp.take_along_axis(fstar, theta_idx[:, :, None], axis=1)
+        return GPIRTState(
+            theta_idx=theta_idx,
+            f=f,
+            beta=beta,
+            thresholds=jnp.asarray(thresholds_init, dt),
+            fstar=fstar,
+        )
+
     if config.constant_IRF:
         z_b = jax.random.normal(k_beta, (1, 3, m), dt)
         beta = consts.beta_prior_means + z_b * consts.beta_prior_sds
@@ -645,33 +737,61 @@ def gibbs_sweep(
     """
     k_f, k_fs, k_th, k_b, k_t = jax.random.split(key, 5)
 
-    theta = theta_from_indices(state.theta_idx, consts)
-    mu = compute_mu(theta, state.beta)
     mu_star = compute_mu_star(consts, state.beta)
 
-    L = None
-    L_combined = None
-    if config.constant_IRF:
-        L_combined = combined_theta_chol(state.theta_idx, consts, config)
-    else:
-        L = theta_chol(state.theta_idx, consts, config)
+    # Latent block(s), repeated ``mix_subsweeps`` times. Each pass is a valid
+    # set of Gibbs updates (the reference does exactly one,
+    # src/gpirtMCMC.cpp:270-298); repeating is the cheap mixing lever for
+    # theta, whose conditional is sharp and only decorrelates through fresh
+    # f* wiggle off the current positions. The Geweke joint-distribution test
+    # passes for any count and either f_method.
+    if config.f_method == "grid":
+        # grid-native: one ESS on f* replaces draw_f + draw_fstar; no
+        # per-iteration Cholesky at any n (see draw_fstar_direct).
+        for s in range(config.mix_subsweeps):
+            theta = theta_from_indices(state.theta_idx, consts)
+            mu = compute_mu(theta, state.beta)
+            fstar, f = draw_fstar_direct(
+                jax.random.fold_in(k_f, s), state, mu, y, config, consts
+            )
+            state = state._replace(fstar=fstar, f=f)
+            theta_idx = draw_theta(
+                jax.random.fold_in(k_th, s), state, mu_star, y, consts, config
+            )
+            f = jnp.take_along_axis(fstar, theta_idx[:, :, None], axis=1)
+            state = state._replace(theta_idx=theta_idx, f=f)
+    else:  # "two_stage": the reference pipeline
+        theta = theta_from_indices(state.theta_idx, consts)
+        mu = compute_mu(theta, state.beta)
+        L = None
+        L_combined = None
+        if config.constant_IRF:
+            L_combined = combined_theta_chol(state.theta_idx, consts, config)
+        else:
+            L = theta_chol(state.theta_idx, consts, config)
 
-    # 1. f
-    f = draw_f(k_f, state, L, L_combined, mu, y, config)
-    state = state._replace(f=f)
+        # 1. f
+        f = draw_f(k_f, state, L, L_combined, mu, y, config)
+        state = state._replace(f=f)
 
-    # 2. f* (uses theta from *before* the theta update, like the reference)
-    fstar = draw_fstar(k_fs, f, state.theta_idx, L, consts, config)
-    state = state._replace(fstar=fstar)
+        # 2-4. (f* | f) -> (theta | f*) -> f := f*(theta)
+        for s in range(config.mix_subsweeps):
+            k_fs_s = jax.random.fold_in(k_fs, s)
+            k_th_s = jax.random.fold_in(k_th, s)
+            if config.constant_IRF or L is None:
+                L_s = L
+            else:
+                # L depends on theta; recompute after the first snap moved it
+                L_s = L if s == 0 else theta_chol(state.theta_idx, consts, config)
+            fstar = draw_fstar(k_fs_s, state.f, state.theta_idx, L_s, consts, config)
+            state = state._replace(fstar=fstar)
+            theta_idx = draw_theta(k_th_s, state, mu_star, y, consts, config)
+            f = jnp.take_along_axis(fstar, theta_idx[:, :, None], axis=1)
+            state = state._replace(theta_idx=theta_idx, f=f)
 
-    # 3. theta (grid-snapped)
-    theta_idx = draw_theta(k_th, state, mu_star, y, consts, config)
-    state = state._replace(theta_idx=theta_idx)
+    theta_idx = state.theta_idx
     theta = theta_from_indices(theta_idx, consts)
-
-    # 4. snap f to the fstar rows at the new theta (src/gpirtMCMC.cpp:291-298)
-    f = jnp.take_along_axis(fstar, theta_idx[:, :, None], axis=1)
-    state = state._replace(f=f)
+    f = state.f
 
     # 5. beta
     beta = draw_beta(k_b, state.beta, theta, f, state.thresholds, y, consts, config)

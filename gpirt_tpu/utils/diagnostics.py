@@ -119,6 +119,61 @@ def effective_sample_size(draws: np.ndarray) -> np.ndarray:
     return np.minimum(ess, K * S * np.log10(max(S, 10)))
 
 
+def effective_sample_size_device(draws, align_signs: bool = True):
+    """On-device (jit-able) pooled ESS per parameter.
+
+    Mirrors ``effective_sample_size`` in jnp so multi-megabyte draw arrays
+    never cross the host boundary (device->host over a tunneled TPU can be
+    slower than the sampling itself); only the (P,) ESS vector comes back.
+
+    Args:
+      draws: (K, S, P) jnp array, chains first.
+      align_signs: resolve the theta reflection per chain against chain 0's
+        first draw before pooling.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = draws.astype(jnp.float32)
+    K, S, P = x.shape
+    if align_signs:
+        ref = x[0, 0] - jnp.mean(x[0, 0])
+        cent = x - jnp.mean(x, axis=2, keepdims=True)
+        proj = jnp.einsum("ksp,p->ks", cent, ref)
+        sign = jnp.where(proj < 0, -1.0, 1.0)
+        x = x * sign[..., None]
+
+    nfft = 1 << int(np.ceil(np.log2(2 * S)))
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    f = jnp.fft.rfft(xc, n=nfft, axis=1)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=1)[:, :S].real / S  # (K,S,P)
+
+    chain_var = acov[:, 0] * S / (S - 1.0)  # (K, P)
+    W = jnp.mean(chain_var, axis=0)
+    mean_acov = jnp.mean(acov, axis=0)  # (S, P)
+    if K > 1:
+        B_over_n = jnp.var(jnp.mean(x, axis=1), axis=0, ddof=1)
+        var_plus = W * (S - 1.0) / S + B_over_n
+    else:
+        var_plus = W * (S - 1.0) / S + 1e-30
+    rho = 1.0 - (W - mean_acov) / var_plus
+    rho = rho.at[0].set(1.0)
+
+    T = (S - 1) // 2
+    pair = rho[1 : 2 * T + 1].reshape(T, 2, P).sum(axis=1)  # (T, P)
+    pair_min = jax.lax.associative_scan(jnp.minimum, pair, axis=0)
+    positive = pair_min > 0
+    contrib = jnp.where(positive, pair_min, 0.0)
+    first_bad = jnp.argmax(jnp.logical_not(positive), axis=0)
+    cutoff = jnp.where(jnp.any(jnp.logical_not(positive), axis=0), first_bad, T)
+    idx = jnp.arange(T)[:, None]
+    contrib = jnp.where(idx < cutoff[None, :], contrib, 0.0)
+    tau = jnp.maximum(-1.0 + 2.0 * contrib.sum(axis=0),
+                      1.0 / np.log10(max(S, 10)))
+    ess = K * S / tau
+    return jnp.minimum(ess, K * S * np.log10(max(S, 10)))
+
+
 def summarize(draws: np.ndarray) -> dict:
     """Convenience: min/median ESS and max R-hat over parameters."""
     ess = effective_sample_size(draws)
