@@ -44,6 +44,30 @@ from gpirt_tpu.utils.response import (
 
 __all__ = ["gpirt_mcmc", "recover_fstar", "default_thresholds"]
 
+# Setup constants (incl. the one-time host float64 grid Cholesky, ~20 s at a
+# 10k grid) are memoized across calls with identical config + priors.
+_CONSTS_CACHE: Dict[tuple, Any] = {}
+_CONSTS_CACHE_MAX = 8
+
+
+def _cached_constants(config, beta_prior_means, beta_prior_sds,
+                      theta_prior_means, theta_prior_sds):
+    key = (
+        config,
+        np.asarray(beta_prior_means).tobytes(),
+        np.asarray(beta_prior_sds).tobytes(),
+        np.asarray(theta_prior_means).tobytes(),
+        np.asarray(theta_prior_sds).tobytes(),
+    )
+    if key not in _CONSTS_CACHE:
+        if len(_CONSTS_CACHE) >= _CONSTS_CACHE_MAX:
+            _CONSTS_CACHE.pop(next(iter(_CONSTS_CACHE)))
+        _CONSTS_CACHE[key] = make_constants(
+            config, beta_prior_means, beta_prior_sds,
+            theta_prior_means, theta_prior_sds,
+        )
+    return _CONSTS_CACHE[key]
+
 
 def _qnorm(p: float) -> float:
     return float(_sps.ndtri(p))
@@ -99,6 +123,8 @@ def gpirt_mcmc(
     grid_size: int = 1001,
     fstar_method: str = "matheron",
     theta_method: str = "grid",
+    f_method: str = "grid",
+    mix_subsweeps: int = 1,
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     verbose: bool = True,
@@ -162,9 +188,11 @@ def gpirt_mcmc(
         dtype=dtype,
         fstar_method=fstar_method,
         theta_method=theta_method,
+        f_method=f_method,
+        mix_subsweeps=mix_subsweeps,
         jitter=jitter if jitter is not None else (1e-6 if dtype == "float64" else 1e-5),
     )
-    consts = make_constants(
+    consts = _cached_constants(
         config, beta_prior_means, beta_prior_sds, theta_prior_means, theta_prior_sds
     )
 
@@ -357,7 +385,7 @@ def recover_fstar(
         jitter=1e-6 if dtype == "float64" else 1e-5,
         mean_degree=mean_degree,
     )
-    consts = make_constants(
+    consts = _cached_constants(
         config, beta_prior_means, beta_prior_sds, np.zeros((2, n)), np.zeros((2, n))
     )
 
