@@ -33,9 +33,8 @@ from gpirt_tpu.models.gibbs import (
     compute_mu_star,
     snap_indices,
     theta_chol,
-    theta_from_indices,
 )
-from gpirt_tpu.models.sampler import run_chain, sample_schedule, memory_estimate_mb
+from gpirt_tpu.models.sampler import sample_schedule, memory_estimate_mb
 from gpirt_tpu.utils.response import (
     DEFAULT_VOTE_CODES,
     as_response_matrix,

@@ -23,7 +23,6 @@ from gpirt_tpu.models.gibbs import (
     GPIRTState,
     _gumbel_argmax,
     compute_mu,
-    compute_mu_star,
     theta_from_indices,
 )
 from gpirt_tpu.ops.likelihood import delta_to_threshold

@@ -14,15 +14,13 @@ model src/gpirtMCMC.cpp:47-82).
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
 from gpirt_tpu.models.gibbs import (
-    GPIRTState,
     compute_mu_star,
     gibbs_sweep,
     init_state,

@@ -19,7 +19,6 @@ a lane's state unchanged (an identity MCMC move, still valid).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

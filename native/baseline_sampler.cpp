@@ -12,9 +12,12 @@
 // linkage), so the timing is representative of the Armadillo-backed original
 // rather than of naive loops. No reference code was copied.
 //
-// Usage: baseline_sampler [iters] [data_file]
+// Usage: baseline_sampler [iters] [data_file] [burn]
 //   data_file: text; first line "n m C", then n rows of m ints (0 = missing).
-//   Prints one JSON line: {"sec_per_iter": ..., "iters": ..., "ll": ...}
+//   Prints one JSON line: {"sec_per_iter", "iters", "ll"} plus, when burn >= 0
+//   is given, "theta_mean": the post-burn posterior mean of theta — used by
+//   scripts/cross_parity.py to check the JAX sampler against this independent
+//   implementation.
 
 #include <algorithm>
 #include <chrono>
@@ -95,6 +98,7 @@ struct Rng {
 int main(int argc, char** argv) {
   int iters = argc > 1 ? std::atoi(argv[1]) : 10;
   std::string path = argc > 2 ? argv[2] : "native/senate_y.txt";
+  int burn = argc > 3 ? std::atoi(argv[3]) : -1;
 
   std::ifstream in(path);
   if (!in) {
@@ -198,6 +202,8 @@ int main(int argc, char** argv) {
 
   std::vector<double> g(n), gp(n), nu(std::max(n, N));
   std::vector<double> alpha(n), mean(N);
+  std::vector<double> theta_sum(n, 0.0);
+  int n_kept = 0;
 
   for (int iter = 0; iter < iters; ++iter) {
     rng.gen.seed(1000 + iter);  // deterministic per-iteration reseed
@@ -387,6 +393,11 @@ int main(int argc, char** argv) {
       }
     }
 
+    if (burn >= 0 && iter >= burn) {
+      for (int i = 0; i < n; ++i) theta_sum[i] += theta[i];
+      ++n_kept;
+    }
+
     // ---- total ll
     ll_total = 0.0;
     for (int j = 0; j < m; ++j) {
@@ -403,7 +414,16 @@ int main(int argc, char** argv) {
 
   auto t1 = std::chrono::steady_clock::now();
   double secs = std::chrono::duration<double>(t1 - t0).count();
-  std::printf("{\"sec_per_iter\": %.6f, \"iters\": %d, \"ll\": %.3f}\n",
-              secs / iters, iters, ll_total);
+  if (burn >= 0 && n_kept > 0) {
+    std::printf("{\"sec_per_iter\": %.6f, \"iters\": %d, \"ll\": %.3f, "
+                "\"theta_mean\": [",
+                secs / iters, iters, ll_total);
+    for (int i = 0; i < n; ++i)
+      std::printf("%s%.6f", i ? ", " : "", theta_sum[i] / n_kept);
+    std::printf("]}\n");
+  } else {
+    std::printf("{\"sec_per_iter\": %.6f, \"iters\": %d, \"ll\": %.3f}\n",
+                secs / iters, iters, ll_total);
+  }
   return 0;
 }
