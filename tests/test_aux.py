@@ -1,0 +1,90 @@
+"""Aux subsystems: profiling, generative sampling, posterior predictive,
+API-level mesh usage."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpirt_tpu.models import GPIRTConfig, make_constants
+from gpirt_tpu.models.generate import (
+    sample_prior_state,
+    sample_responses,
+    posterior_predictive,
+)
+
+from test_sampler import sim_2pl, binary_thresholds, default_priors
+
+
+def _small_setup(n=8, m=4, grid_size=51):
+    config = GPIRTConfig(n=n, m=m, horizon=1, C=2, dtype="float64",
+                         grid_size=grid_size)
+    consts = make_constants(config, **default_priors(n, m))
+    return config, consts
+
+
+class TestProfiling:
+    def test_profile_sweep_runs(self):
+        from gpirt_tpu.models.gibbs import init_state
+        from gpirt_tpu.utils.profiling import profile_sweep
+
+        config, consts = _small_setup()
+        _, y = sim_2pl(0, n=8, m=4)
+        state = init_state(jax.random.key(0), np.linspace(-1, 1, 8)[None],
+                           binary_thresholds(4), jnp.asarray(y), consts, config)
+        out = profile_sweep(state, jnp.asarray(y), consts, config, reps=3)
+        assert set(out) >= {"full_sweep", "draw_f", "draw_fstar", "draw_theta",
+                            "draw_beta", "draw_threshold"}
+        assert all(v > 0 for v in out.values())
+
+
+class TestGenerate:
+    def test_prior_state_distributions(self):
+        config, consts = _small_setup(n=200, m=6, grid_size=101)
+        keys = jax.random.split(jax.random.key(0), 200)
+        states = jax.vmap(lambda k: sample_prior_state(k, consts, config))(keys)
+        # theta approx N(0, 1): sd of sampled grid values
+        theta = np.asarray(consts.grid)[np.asarray(states.theta_idx)]
+        assert abs(theta.std() - 1.0) < 0.05
+        # f consistency: f == fstar at theta (checked on one draw)
+        s0 = jax.tree_util.tree_map(lambda v: v[0], states)
+        f0 = np.take_along_axis(np.asarray(s0.fstar),
+                                np.asarray(s0.theta_idx)[:, :, None], axis=1)
+        np.testing.assert_allclose(f0, np.asarray(s0.f))
+
+    def test_sample_responses_range_and_mask(self):
+        config, consts = _small_setup(n=30, m=5, grid_size=101)
+        st = sample_prior_state(jax.random.key(1), consts, config)
+        mask = jnp.asarray(np.random.default_rng(0).random((1, 30, 5)) > 0.4)
+        y = np.asarray(sample_responses(jax.random.key(2), st, consts, config, mask))
+        assert set(np.unique(y)) <= {0, 1, 2}
+        assert np.all((y == 0) == ~np.asarray(mask))
+
+    def test_posterior_predictive_shapes(self):
+        from gpirt_tpu.models.sampler import run_chain
+
+        config, consts = _small_setup(n=10, m=4, grid_size=51)
+        _, yraw = sim_2pl(3, n=10, m=4)
+        y = jnp.asarray(yraw)
+        d = run_chain(jax.random.key(0), y, np.linspace(-1, 1, 10)[None],
+                      binary_thresholds(4), consts, config,
+                      sample_iterations=3, burn_iterations=0, store_f=True)
+        rep = posterior_predictive(jax.random.key(1), d, consts, config)
+        assert rep.shape == (3, 1, 10, 4)
+        assert set(np.unique(np.asarray(rep))) <= {1, 2}
+
+
+class TestApiMesh:
+    def test_gpirt_mcmc_with_mesh(self):
+        from gpirt_tpu.api import gpirt_mcmc
+        from gpirt_tpu.parallel import make_chain_mesh
+        from gpirt_tpu.utils.datasets import simulate_2pl
+
+        _, y = simulate_2pl(5, n=10, m=5)  # (n, m) in {0.0, 1.0}
+        mesh = make_chain_mesh(4)
+        out = gpirt_mcmc(
+            y, 3, 1, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            CHAIN=4, mesh=mesh, dtype="float64", verbose=False, grid_size=101,
+        )
+        assert len(out) == 4
+        for c in out:
+            assert np.all(np.isfinite(c["ll"]))
