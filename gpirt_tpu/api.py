@@ -126,6 +126,8 @@ def gpirt_mcmc(
     mix_subsweeps: int = 1,
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 200,
     verbose: bool = True,
 ) -> List[Dict[str, np.ndarray]]:
     """Posterior samples for the GP-IRT model. Returns one dict per chain.
@@ -227,6 +229,28 @@ def gpirt_mcmc(
                 th_init = np.broadcast_to(th_init, (H, n))
         inits.append(np.clip(th_init, THETA_LO, THETA_HI))
     th_inits = np.stack(inits)  # (CHAIN, H, n)
+
+    if checkpoint_path is not None:
+        # resumable path: chunked device executions with atomic checkpoints
+        # (the reference loses everything on interrupt, src/gpirtMCMC.cpp:264).
+        # One file per chain: <path>.chain<k>.npz
+        from gpirt_tpu.parallel.chains import chain_keys
+        from gpirt_tpu.utils.checkpoint import CheckpointManager, run_chain_checkpointed
+
+        keys = chain_keys(SEED, CHAIN)
+        results = []
+        for c in range(CHAIN):
+            mgr = CheckpointManager(f"{checkpoint_path}.chain{c}.npz")
+            draws = run_chain_checkpointed(
+                keys[c], jnp.asarray(y), th_inits[c], thresholds_init,
+                consts, config,
+                sample_iterations=sample_iterations,
+                burn_iterations=burn_iterations,
+                thin=THIN, store_f=store_f, store_fstar=store_fstar,
+                manager=mgr, checkpoint_every=checkpoint_every,
+            )
+            results.append(_to_reference_layout(draws))
+        return results
 
     from gpirt_tpu.parallel.chains import run_chains, chain_keys
 

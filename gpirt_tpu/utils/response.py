@@ -84,14 +84,12 @@ def response_matrix(
     if isinstance(data, dict):
         cols = list(data.values())
         arr = np.column_stack([np.asarray(c, dtype=object) for c in cols])
-        colnames = list(data.keys())
     elif isinstance(data, (list, tuple)) and data and isinstance(data[0], dict):
         raise TypeError(
             "Conversion from lists to ResponseMatrix objects is unsupported."
         )
     else:
         arr = np.asarray(data, dtype=object)
-        colnames = None
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D response matrix, got shape {arr.shape}")
 
@@ -112,7 +110,6 @@ def response_matrix(
             )
 
     out = np.full(arr.shape, np.nan, dtype=np.float64)
-    it = np.nditer(np.arange(arr.size), flags=["zerosize_ok"])
     flat_out = out.ravel()
     for k, v in enumerate(flat):
         if v in yea:

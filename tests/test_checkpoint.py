@@ -81,3 +81,23 @@ class TestCheckpoint:
         assert meta["iteration"] == 7
         np.testing.assert_array_equal(np.asarray(st.f), np.asarray(st2.f))
         np.testing.assert_array_equal(draws["theta"], np.ones((2, 3)))
+
+
+class TestApiCheckpoint:
+    def test_gpirt_mcmc_checkpointed_matches(self, tmp_path):
+        from gpirt_tpu.api import gpirt_mcmc
+        from gpirt_tpu.utils.datasets import simulate_2pl
+
+        _, y = simulate_2pl(7, n=10, m=5)
+        codes = {"yea": 1, "nay": 0, "missing": None}
+        kw = dict(vote_codes=codes, dtype="float64", grid_size=101,
+                  verbose=False, SEED=3)
+        plain = gpirt_mcmc(y, 6, 2, **kw)
+        ck = gpirt_mcmc(y, 6, 2, checkpoint_path=str(tmp_path / "ck"),
+                        checkpoint_every=3, **kw)
+        np.testing.assert_array_equal(plain[0]["theta"], ck[0]["theta"])
+        np.testing.assert_allclose(plain[0]["ll"], ck[0]["ll"], rtol=1e-12)
+        # resume from the completed checkpoint reproduces instantly
+        ck2 = gpirt_mcmc(y, 6, 2, checkpoint_path=str(tmp_path / "ck"),
+                         checkpoint_every=3, **kw)
+        np.testing.assert_array_equal(ck[0]["theta"], ck2[0]["theta"])
