@@ -21,6 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
+from gpirt_tpu.models.gibbs import gibbs_sweep, init_state, theta_from_indices
 from gpirt_tpu.models.sampler import run_chain
 
 try:  # jax>=0.4.35 exposes shard_map at top level
@@ -28,7 +29,7 @@ try:  # jax>=0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-__all__ = ["run_chains", "make_chain_mesh", "chain_keys"]
+__all__ = ["run_chains", "run_chains_chunked", "make_chain_mesh", "chain_keys"]
 
 
 def make_chain_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
@@ -101,3 +102,88 @@ def run_chains(
         check_vma=False,
     )
     return jax.jit(sharded)(keys, y, theta_init, thresholds_init, consts)
+
+
+def run_chains_chunked(
+    keys: jax.Array,
+    y: jnp.ndarray,
+    theta_init: jnp.ndarray,
+    thresholds_init: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+    *,
+    sample_iterations: int,
+    burn_iterations: int,
+    thin: int = 1,
+    store_f: bool = False,
+    store_fstar: bool = False,
+    chunk_iterations: int = 250,
+) -> Dict[str, jnp.ndarray]:
+    """``run_chains`` split into bounded device executions.
+
+    One monolithic XLA execution of a long scan can exceed runtime execution
+    limits (a >60 s single call was observed to fault the tunneled TPU
+    runtime at 64 chains x 2500 iterations). This driver advances all chains
+    ``chunk_iterations`` sweeps per device call and assembles the thinned
+    draws on the host — the same key schedule as ``run_chains`` (iteration i
+    uses fold_in(k_run_chain, i)), so results match up to compile-level float
+    associativity.
+
+    Output layouts match ``run_chains`` (leading chains axis). Per-iteration
+    chunk outputs live on the host briefly; with store_fstar at large shapes
+    pick a smaller ``chunk_iterations``.
+    """
+    import numpy as np
+
+    from gpirt_tpu.models.gibbs import compute_mu_star
+
+    theta_init = jnp.asarray(theta_init, config.jdtype)
+    thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
+    init_axis = 0 if theta_init.ndim == 3 else None
+    total = sample_iterations + burn_iterations
+
+    split = jax.vmap(jax.random.split)(keys)  # (K, 2, ...)
+    k_init = split[:, 0]
+    k_run = split[:, 1]
+
+    def _init_one(key, theta_init):
+        return init_state(key, theta_init, thresholds_init, y, consts, config)
+
+    def _advance_one(state, k_run, start):
+        def body(s, it):
+            s, ll = gibbs_sweep(s, jax.random.fold_in(k_run, it), y, consts, config)
+            out = {
+                "theta": theta_from_indices(s.theta_idx, consts),
+                "beta": s.beta,
+                "threshold": s.thresholds,
+                "ll": ll,
+            }
+            if store_f:
+                out["f"] = s.f
+            if store_fstar:
+                ms = compute_mu_star(consts, s.beta)
+                if config.constant_IRF:
+                    ms = jnp.broadcast_to(ms[:1], ms.shape)
+                out["fstar"] = s.fstar + ms
+            return s, out
+
+        its = start + jnp.arange(chunk_iterations)
+        return jax.lax.scan(body, state, its)
+
+    init_v = jax.jit(jax.vmap(_init_one, in_axes=(0, init_axis)))
+    advance_v = jax.jit(jax.vmap(_advance_one, in_axes=(0, 0, None)))
+
+    state = init_v(k_init, theta_init)
+    acc: Dict[str, list] = {}
+    it = 0
+    while it < total:
+        k = min(chunk_iterations, total - it)
+        state, outs = advance_v(state, k_run, it)
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        for j in range(k):
+            ii = it + j
+            if ii >= burn_iterations and ii % thin == 0:
+                for name, arr in outs.items():
+                    acc.setdefault(name, []).append(arr[:, j])
+        it += k
+    return {name: np.stack(v, axis=1) for name, v in acc.items()}

@@ -95,3 +95,18 @@ class TestDiagnostics:
         many = rng.standard_normal((8, 1000, 1))
         r = effective_sample_size(many)[0] / effective_sample_size(one)[0]
         assert 5 < r < 12, r
+
+
+class TestChunkedChains:
+    def test_chunked_matches_unchunked(self):
+        from gpirt_tpu.parallel import run_chains_chunked
+
+        y, ti, thr, consts, config = _setup(n=10, m=5)
+        keys = chain_keys(1, 3)
+        kw = dict(sample_iterations=7, burn_iterations=2, thin=2)
+        a = run_chains(keys, jnp.asarray(y), ti, thr, consts, config, **kw)
+        b = run_chains_chunked(keys, jnp.asarray(y), ti, thr, consts, config,
+                               chunk_iterations=4, **kw)
+        np.testing.assert_array_equal(np.asarray(a["theta"]), b["theta"])
+        np.testing.assert_allclose(np.asarray(a["ll"]), b["ll"], rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(a["beta"]), b["beta"], rtol=1e-12)
