@@ -129,12 +129,10 @@ def run_chains_chunked(
     uses fold_in(k_run_chain, i)), so results match up to compile-level float
     associativity.
 
-    Output layouts match ``run_chains`` (leading chains axis). Per-iteration
-    chunk outputs live on the host briefly; with store_fstar at large shapes
-    pick a smaller ``chunk_iterations``.
+    Output layouts match ``run_chains`` (leading chains axis) and stay on
+    device (recorded draws are gathered into device buffers; fetch or reduce
+    them with device-side diagnostics to avoid host-transfer costs).
     """
-    import numpy as np
-
     from gpirt_tpu.models.gibbs import compute_mu_star
 
     theta_init = jnp.asarray(theta_init, config.jdtype)
@@ -179,11 +177,12 @@ def run_chains_chunked(
     while it < total:
         k = min(chunk_iterations, total - it)
         state, outs = advance_v(state, k_run, it)
-        outs = jax.tree_util.tree_map(np.asarray, outs)
-        for j in range(k):
-            ii = it + j
-            if ii >= burn_iterations and ii % thin == 0:
-                for name, arr in outs.items():
-                    acc.setdefault(name, []).append(arr[:, j])
+        # select recorded iterations of this chunk in one device gather
+        rec = [j for j in range(k)
+               if (it + j) >= burn_iterations and (it + j) % thin == 0]
+        if rec:
+            idx = jnp.asarray(rec)
+            for name, arr in outs.items():
+                acc.setdefault(name, []).append(jnp.take(arr, idx, axis=1))
         it += k
-    return {name: np.stack(v, axis=1) for name, v in acc.items()}
+    return {name: jnp.concatenate(v, axis=1) for name, v in acc.items()}

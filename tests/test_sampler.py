@@ -314,3 +314,53 @@ class TestOrdinal:
         # cutpoints stay ordered
         t = np.asarray(draws["threshold"])[:, 0]  # (S, m, C+1)
         assert np.all(np.diff(t[..., 1:-1], axis=-1) > 0)
+
+
+class TestThetaExactnessRDM:
+    """Enumeration exactness in the RDM regime (independent theta per
+    session): each (i, h) conditional is prior x table, checkable in closed
+    form."""
+
+    def test_grid_matches_enumeration(self):
+        from gpirt_tpu.models.config import GPIRTConfig as Cfg, make_constants as mk
+        from gpirt_tpu.models.gibbs import (
+            GPIRTState, _theta_ll_table, _draw_theta_grid,
+        )
+
+        n, m, H, N = 1, 5, 2, 41
+        config = Cfg(n=n, m=m, horizon=H, C=2, dtype="float64", grid_size=N,
+                     theta_ls=0.05)
+        assert config.theta_regime == "RDM"
+        consts = mk(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                    np.zeros((2, n)), np.zeros((2, n)))
+        rng = np.random.default_rng(1)
+        y = jnp.asarray(rng.integers(1, 3, (H, n, m)), jnp.int32)
+        thr = binary_thresholds(m, H)
+        fstar = jnp.asarray(rng.standard_normal((H, N, m)) * 2)
+        state = GPIRTState(
+            theta_idx=jnp.full((H, n), N // 2, jnp.int32),
+            f=jnp.zeros((H, n, m)), beta=jnp.zeros((H, 3, m)),
+            thresholds=jnp.asarray(thr), fstar=fstar,
+        )
+        mu_star = jnp.zeros((H, N, m))
+
+        # exact per-(i,h) marginal: prior N(0, 1 + sd^2) x likelihood table
+        table = np.asarray(_theta_ll_table(fstar, mu_star, y, jnp.asarray(thr), 2))
+        grid = np.asarray(consts.grid)
+        exact = []
+        for h in range(H):
+            logp = -0.5 * grid**2 / 1.0 + table[h][:, 0]
+            p = np.exp(logp - logp.max())
+            exact.append(p / p.sum())
+
+        # RDM grid draws are iid across calls given fixed state
+        S = 8000
+        keys = jax.random.split(jax.random.key(0), S)
+        draws = jax.vmap(
+            lambda k: _draw_theta_grid(k, state, mu_star, y, consts, config)
+        )(keys)  # (S, H, n)
+        d = np.asarray(draws)[:, :, 0]
+        for h in range(H):
+            hist = np.bincount(d[:, h], minlength=N) / S
+            tv = 0.5 * np.abs(hist - exact[h]).sum()
+            assert tv < 0.03, (h, tv)
