@@ -26,7 +26,8 @@ __all__ = [
 def __getattr__(name):
     # Lazy imports keep `import gpirt_tpu` light (no model/api modules until
     # first use) while exposing the full reference-parity surface.
-    if name in ("gpirt_mcmc", "recover_fstar", "default_thresholds"):
+    if name in ("gpirt_mcmc", "recover_fstar", "recover_fstar_batch",
+                "default_thresholds"):
         from gpirt_tpu import api
 
         return getattr(api, name)

@@ -41,7 +41,7 @@ from gpirt_tpu.utils.response import (
     encode_categories,
 )
 
-__all__ = ["gpirt_mcmc", "recover_fstar", "default_thresholds"]
+__all__ = ["gpirt_mcmc", "recover_fstar", "recover_fstar_batch", "default_thresholds"]
 
 # Setup constants (incl. the one-time host float64 grid Cholesky, ~20 s at a
 # 10k grid) are memoized across calls with identical config + priors.
@@ -413,10 +413,24 @@ def recover_fstar(
     )
 
     dt = config.jdtype
-    theta_j = jnp.asarray(theta_int, dt)
+    fstar = _recover_one(
+        jax.random.key(seed),
+        jnp.asarray(f_int, dt),
+        jnp.asarray(theta_int, dt),
+        jnp.asarray(beta_mean, dt),
+        jnp.asarray(thr, dt),
+        jnp.asarray(y),
+        consts,
+        config,
+    )
+    return {"fstar": np.moveaxis(np.asarray(fstar), 0, 2)}
+
+
+def _recover_one(key, f_j, theta_j, beta_j, thr_j, y_j, consts, config):
+    """One seeded draw_f + draw_fstar pass (reference recover_fstar core,
+    src/recover_fstar.cpp:80-93). jit/vmap-able."""
     theta_idx = snap_indices(theta_j, config)
-    beta_j = jnp.asarray(beta_mean, dt)
-    if mean_degree == 1:
+    if config.mean_degree == 1:
         # linear mean: zero out the quadratic column of X by zeroing beta[2]
         beta_j = beta_j.at[:, 2].set(0.0)
     mu = compute_mu(theta_j, beta_j)
@@ -424,12 +438,12 @@ def recover_fstar(
 
     state = GPIRTState(
         theta_idx=theta_idx,
-        f=jnp.asarray(f_int, dt),
+        f=f_j,
         beta=beta_j,
-        thresholds=jnp.asarray(thr, dt),
-        fstar=jnp.zeros((H, grid_size, m), dt),
+        thresholds=thr_j,
+        fstar=jnp.zeros((config.horizon, config.grid_size, config.m),
+                        config.jdtype),
     )
-    key = jax.random.key(seed)
     k_f, k_fs = jax.random.split(key)
     L = None
     L_combined = None
@@ -437,10 +451,80 @@ def recover_fstar(
         L_combined = combined_theta_chol(theta_idx, consts, config)
     else:
         L = theta_chol(theta_idx, consts, config)
-    y_j = jnp.asarray(y)
     f_new = _draw_f_block(k_f, state, L, L_combined, mu, y_j, config)
     fstar = _draw_fstar_block(k_fs, f_new, theta_idx, L, consts, config)
     # returned IRF latent includes the parametric mean, like the reference
     # (src/draw-fstar.cpp:52; linear mean per its 2-column X quirk)
-    fstar = fstar + mu_star
-    return {"fstar": np.moveaxis(np.asarray(fstar), 0, 2)}
+    return fstar + mu_star
+
+
+def recover_fstar_batch(
+    seed: int,
+    samples: Dict[str, np.ndarray],
+    data,
+    beta_prior_means: Optional[np.ndarray] = None,
+    beta_prior_sds: Optional[np.ndarray] = None,
+    constant_IRF: int = 0,
+    *,
+    dtype: str = "float32",
+    grid_size: int = 1001,
+    mean_degree: int = 1,
+) -> np.ndarray:
+    """Vectorized fstar recovery over ALL stored draws at once.
+
+    The reference reconstructs one draw per call (a storage-saving mechanism,
+    src/recover_fstar.cpp); here the whole posterior-IRF reconstruction is
+    one vmapped device program. Draw s uses fold_in(key(seed), s).
+
+    Args:
+      samples: a chain dict from ``gpirt_mcmc(..., store_f=True)`` —
+        uses "f" (S, n, m, H), "theta" (S, n, H), "beta" (S, 3, m, H),
+        "threshold" (S, m, C+1, H).
+      data: responses with the sampler's coding (missingness pattern only).
+
+    Returns:
+      (S, N, m, H) fstar draws.
+    """
+    cube = _as_cube(data)
+    y, C, _ = encode_categories(cube)
+    H, n, m = y.shape
+    S = samples["theta"].shape[0]
+
+    f_int = np.moveaxis(np.asarray(samples["f"], np.float64), 3, 1)  # (S,H,n,m)
+    theta_int = np.swapaxes(np.asarray(samples["theta"], np.float64), 1, 2)  # (S,H,n)
+    beta_raw = np.moveaxis(np.asarray(samples["beta"], np.float64), 3, 1)  # (S,H,p,m)
+    p = mean_degree + 1
+    beta_mean = np.zeros((S, H, 3, m))
+    beta_mean[:, :, :p] = beta_raw[:, :, :p]
+    thr = np.moveaxis(np.asarray(samples["threshold"], np.float64), 3, 1)  # (S,H,m,C+1)
+
+    if beta_prior_means is None:
+        beta_prior_means = np.zeros((3, m))
+    if beta_prior_sds is None:
+        beta_prior_sds = np.full((3, m), 3.0)
+    beta_prior_means = np.broadcast_to(np.asarray(beta_prior_means, np.float64), (3, m))
+    beta_prior_sds = np.broadcast_to(np.asarray(beta_prior_sds, np.float64), (3, m))
+
+    config = GPIRTConfig(
+        n=n, m=m, horizon=H, C=C, grid_size=grid_size,
+        constant_IRF=bool(constant_IRF), dtype=dtype,
+        jitter=1e-6 if dtype == "float64" else 1e-5,
+        mean_degree=mean_degree,
+    )
+    consts = _cached_constants(
+        config, beta_prior_means, beta_prior_sds, np.zeros((2, n)), np.zeros((2, n))
+    )
+    dt = config.jdtype
+    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.key(seed), s))(
+        jnp.arange(S)
+    )
+    y_j = jnp.asarray(y)
+
+    def one(key, f_j, theta_j, beta_j, thr_j):
+        return _recover_one(key, f_j, theta_j, beta_j, thr_j, y_j, consts, config)
+
+    fstar = jax.jit(jax.vmap(one))(
+        keys, jnp.asarray(f_int, dt), jnp.asarray(theta_int, dt),
+        jnp.asarray(beta_mean, dt), jnp.asarray(thr, dt),
+    )
+    return np.moveaxis(np.asarray(fstar), 1, 3)  # (S, N, m, H)

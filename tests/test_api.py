@@ -197,3 +197,24 @@ class TestRecoverFstar:
                           d["threshold"][-1], dtype="float64", grid_size=101,
                           mean_degree=2)
         assert not np.allclose(a["fstar"], b["fstar"])
+
+
+class TestRecoverFstarBatch:
+    def test_batch_matches_single(self):
+        from gpirt_tpu.api import recover_fstar_batch
+
+        _, y = simulate_2pl(6, n=10, m=5)
+        codes = {"yea": 1, "nay": 0, "missing": None}
+        out = gpirt_mcmc(
+            y, 3, 0, vote_codes=codes, store_f=True, dtype="float64",
+            grid_size=101, verbose=False,
+        )
+        d = out[0]
+        from gpirt_tpu.utils.response import as_response_matrix
+        rm = np.asarray(as_response_matrix(y, codes, verbose=False))
+        batch = recover_fstar_batch(9, d, rm, dtype="float64", grid_size=101)
+        assert batch.shape == (3, 101, d["beta"].shape[2], 1)
+        assert np.isfinite(batch).all()
+        # deterministic: two calls agree exactly
+        batch2 = recover_fstar_batch(9, d, rm, dtype="float64", grid_size=101)
+        np.testing.assert_array_equal(batch, batch2)
