@@ -153,3 +153,45 @@ class TestRData:
         objs = load_rda("/root/reference/data/senate116.rda")
         df = objs["senate116"].to_python()
         assert len(np.asarray(df["cast_code"])) == 42800
+
+
+class TestIRF:
+    def test_probabilities_sum_to_one(self):
+        from gpirt_tpu.utils.irf import irf_probabilities
+
+        rng = np.random.default_rng(0)
+        N, m, C = 21, 3, 4
+        fstar = rng.standard_normal((N, m))
+        cuts = np.sort(rng.standard_normal((m, C - 1)), axis=1)
+        thr = np.concatenate(
+            [np.full((m, 1), -np.inf), cuts, np.full((m, 1), np.inf)], axis=1
+        )
+        p = irf_probabilities(fstar, thr)
+        assert p.shape == (N, m, C)
+        assert np.all(p >= 0)
+        np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-12)
+
+    def test_binary_closed_form(self):
+        from gpirt_tpu.utils.irf import irf_probabilities
+        from scipy import stats
+
+        fstar = np.array([[0.7]])
+        thr = np.array([[-np.inf, 0.2, np.inf]])
+        p = irf_probabilities(fstar, thr)
+        np.testing.assert_allclose(p[0, 0, 1], 1 - stats.norm.cdf(0.2 - 0.7))
+
+    def test_posterior_irf_from_chain(self):
+        from gpirt_tpu.api import gpirt_mcmc
+        from gpirt_tpu.utils.datasets import simulate_2pl
+        from gpirt_tpu.utils.irf import posterior_irf
+
+        _, y = simulate_2pl(8, n=12, m=5)
+        out = gpirt_mcmc(
+            y, 4, 1, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            store_fstar=True, dtype="float64", grid_size=101, verbose=False,
+        )
+        irf = posterior_irf(out[0])
+        m_kept = out[0]["beta"].shape[2]
+        assert irf.shape == (101, m_kept, 2)
+        np.testing.assert_allclose(irf.sum(-1), 1.0, rtol=1e-10)
+        assert np.all((irf >= 0) & (irf <= 1))
