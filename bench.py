@@ -46,7 +46,7 @@ def _log(msg):
 
 
 def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=16,
-                  f_method="grid"):
+                  f_method="auto"):
     """senate116 binary GP-IRT: n_chains vmapped chains on one chip.
 
     The ESS is pooled across chains (chains are the TPU's free batch axis —
@@ -328,7 +328,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="senate116",
                     choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k"])
-    ap.add_argument("--f-method", default="grid", choices=["grid", "two_stage"])
+    ap.add_argument("--f-method", default="auto",
+                    choices=["auto", "conjugate", "grid", "two_stage"])
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.abspath(__file__))
 

@@ -122,7 +122,7 @@ def gpirt_mcmc(
     grid_size: int = 1001,
     fstar_method: str = "matheron",
     theta_method: str = "grid",
-    f_method: str = "grid",
+    f_method: str = "auto",
     mix_subsweeps: int = 1,
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,

