@@ -2,7 +2,7 @@
 effective samples/sec on senate116.
 
 Other configs (python bench.py --config X):
-  senate116  binary roll-call GP-IRT, 16 vmapped chains (default)
+  senate116  binary roll-call GP-IRT, 64 vmapped chains (default)
   sdo        SDO ordinal-response GP-IRT (cutpoint path)
   synthetic  5k respondents x 1k items (large Gram/Cholesky, batched ESS)
   chains64   64 chains sharded over the local device mesh, pooled R-hat/ESS
@@ -45,7 +45,7 @@ def _log(msg):
     print(f"[bench +{time.time() - _T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=16,
+def run_tpu_bench(sample_iterations=2000, burn_iterations=500, n_chains=64,
                   f_method="auto"):
     """senate116 binary GP-IRT: n_chains vmapped chains on one chip.
 
