@@ -1,4 +1,5 @@
-"""The GP-IRT Gibbs sweep: five batched ESS blocks, one fused op per round.
+"""The GP-IRT Gibbs sweep: batched latent/trait/cutpoint blocks, one fused
+device op per inner step.
 
 Redesign notes (vs the reference's per-item/per-respondent OpenMP loops):
 
@@ -7,19 +8,26 @@ Redesign notes (vs the reference's per-item/per-respondent OpenMP loops):
   src/draw-theta.cpp:165-168), so K(theta,theta) = grid_gram[idx][:, idx] and
   K(theta, theta*) = grid_gram[idx]. Zero kernel evaluations per iteration.
 
-* ``draw_fstar`` uses **Matheron's rule** (pathwise conditioning): with a
-  one-time Cholesky of the grid Gram, a conditional draw on the full grid is
+* Three latent samplers (``f_method``), all targeting the same posterior
+  (validated by the Geweke tests):
+  - "conjugate" (auto default): Albert-Chib truncated-normal augmentation —
+    f* and beta become exact Gaussian draws (no rejection loops), with a
+    pathwise grid draw against one superbly-conditioned (n,n) factor of
+    K + I per sweep.
+  - "grid": one ESS directly on f* with the precomputed grid-Cholesky prior
+    (f == f*[theta_idx]) — zero per-iteration factorizations at any n.
+  - "two_stage": the reference's draw_f + draw_fstar pipeline, with the
+    dominant per-iteration 1001x1001 posterior Cholesky
+    (src/draw-fstar.cpp:26-36) replaced by **Matheron's rule**
       f* | f  =  u* + K*^T K^{-1} (f - u),   (u*, u) ~ joint prior,
-  where u = u*[idx] because theta lies on the grid. This replaces the
-  reference's dominant per-iteration 1001x1001 posterior Cholesky
-  (src/draw-fstar.cpp:26-36, its top cost) with two triangular solves and two
-  MXU matmuls — the same conditional law up to O(jitter). The reference-style
-  posterior-Cholesky path is kept as ``fstar_method="chol"`` for validation.
+    u = u*[idx] since theta lies on the grid (the reference-style
+    posterior-Cholesky is kept as ``fstar_method="chol"`` for validation).
 
 * Each ESS block updates *all* lanes (items or respondents, all horizons, and
   under vmap all chains) inside one ``lax.while_loop`` whose per-round
   likelihood is a single dense masked op — MXU/VPU-shaped instead of 600
-  OpenMP tasks.
+  OpenMP tasks. The theta update defaults to the exact grid-conditional draw
+  (MXU-matmul likelihood table + Gumbel-max).
 
 Reference block semantics reproduced: draw_f (src/draw-f.cpp), draw_fstar
 (src/draw-fstar.cpp), draw_theta with the three length-scale regimes and grid
