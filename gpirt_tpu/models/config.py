@@ -86,13 +86,24 @@ class GPIRTConfig:
 
     @property
     def resolved_f_method(self) -> str:
-        """"auto" picks the fastest Geweke-validated latent sampler for the
-        model: Albert-Chib conjugate (no ESS loops, exact Gaussian f*/beta
-        draws) everywhere it is implemented; grid-native ESS for
-        constant_IRF."""
+        """"auto" picks the fastest latent sampler the numerics can certify.
+
+        Albert-Chib conjugate (no ESS loops, exact Gaussian f*/beta draws)
+        where implemented AND where the GP-regression solve is accurate:
+        the forward error of the (K + I) solve scales with cond(K + I)
+        ~ n * k_max, which exceeds float32's headroom past n of a few
+        hundred (measured: stable at n=100 senate116, divergent at n=1500
+        SDO). Beyond that — or for constant_IRF — fall back to the
+        grid-native ESS sampler, which never solves against K at all.
+        float64 runs use conjugate at any n.
+        """
         if self.f_method != "auto":
             return self.f_method
-        return "grid" if self.constant_IRF else "conjugate"
+        if self.constant_IRF:
+            return "grid"
+        if self.dtype == "float32" and self.n > 500:
+            return "grid"
+        return "conjugate"
 
     @property
     def chol_normalized(self) -> bool:

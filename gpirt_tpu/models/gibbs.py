@@ -435,7 +435,13 @@ def draw_fstar_conjugate(
     gram = gather_theta_gram(idx, consts)  # (H, n, n)
     eye = jnp.eye(n, dtype=dt)
     B = gram + eye  # unit observation noise dominates any needed jitter
-    Lb = jnp.linalg.cholesky(B)
+    # correlation-form factorization for float32: K's diagonal spans orders
+    # of magnitude (quartic kernel term), which broke a raw fp32 Cholesky at
+    # n >= ~1500 on the SDO/synthetic configs. The correlation-scale nugget
+    # must stay tiny relative to the unit observation noise: 1e-5 adds at
+    # most ~0.06 extra variance at the grid extremes (diag <= ~5.9e3).
+    nug = 1e-5 if config.chol_normalized else 0.0
+    Lb = chol_with_jitter(B, nug, normalized=config.chol_normalized)
     rhs = z_resid - u_theta - eps  # (H, n, m)
     alpha = tri_solve(Lb, rhs)
     alpha = tri_solve(Lb, alpha, trans=True)  # B^{-1} rhs
@@ -466,18 +472,28 @@ def draw_beta_conjugate(
     prior_prec = 1.0 / (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
     # per-item posterior precision: XtX + diag(prior_prec[:, j])
     prec = XtX[:, None] + jax.vmap(jnp.diag, 1, 0)(prior_prec)[None]  # (H, m, 3, 3)
-    Lp = jnp.linalg.cholesky(prec)
-    mean = jax.lax.linalg.triangular_solve(
-        Lp, jnp.swapaxes(Xtz, 1, 2)[..., None], left_side=True, lower=True
+    # Column-equilibrate before factorizing: the [1, theta, theta^2] Gram's
+    # condition number grows like n * theta_max^4 (~1e6 at n=1500), and a raw
+    # float32 3x3 solve here feeds O(1)-biased betas into mu -> z -> f* — a
+    # runaway observed on the full SDO config. With prec = S C S
+    # (unit-diagonal C), the factorization is scale-free and fp32-safe.
+    s = jnp.sqrt(jnp.diagonal(prec, axis1=-2, axis2=-1))  # (H, m, 3)
+    inv_s = 1.0 / s
+    C = prec * (inv_s[..., :, None] * inv_s[..., None, :])
+    Lc = jnp.linalg.cholesky(C)
+    # mean = prec^{-1} Xtz = S^{-1} C^{-1} S^{-1} Xtz
+    rhs = jnp.swapaxes(Xtz, 1, 2) * inv_s  # (H, m, 3)
+    w = jax.lax.linalg.triangular_solve(
+        Lc, rhs[..., None], left_side=True, lower=True
     )
     mean = jax.lax.linalg.triangular_solve(
-        Lp, mean, left_side=True, lower=True, transpose_a=True
-    )[..., 0]  # (H, m, 3)
+        Lc, w, left_side=True, lower=True, transpose_a=True
+    )[..., 0] * inv_s  # (H, m, 3)
     zeta = jax.random.normal(key, (H, m, 3), dt)
-    # sample: mean + Lp^{-T} zeta  (covariance = prec^{-1})
+    # sample: mean + S^{-1} Lc^{-T} zeta  (covariance = prec^{-1})
     samp = jax.lax.linalg.triangular_solve(
-        Lp, zeta[..., None], left_side=True, lower=True, transpose_a=True
-    )[..., 0]
+        Lc, zeta[..., None], left_side=True, lower=True, transpose_a=True
+    )[..., 0] * inv_s
     beta = mean + samp  # (H, m, 3)
     return jnp.swapaxes(beta, 1, 2)  # (H, 3, m)
 
