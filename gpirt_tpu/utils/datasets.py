@@ -2,8 +2,11 @@
 
 Mirrors the reference's data/ directory (data/senate116.rda built from the
 Voteview CSVs by data-raw/senate116.R, and the undocumented data/SDO.rda used
-as the ordinal-response test case). Loads from the reference .rda files when
-available, otherwise from the raw CSVs (senate116) or a vendored copy.
+as the ordinal-response test case). The datasets are vendored in-repo as .npz
+archives under data/ (converted once by scripts/vendor_datasets.py), so the
+framework is standalone; user-supplied .rda files are still read via the
+pure-Python RData reader, and reference-layout fallbacks remain as a last
+resort.
 
 senate116 cast codes (R/senate116.R:10-12): 1 = Yea, 6 = Nay, 7 = Present,
 9 = abstention.
@@ -46,6 +49,18 @@ def load_senate116(path: Optional[str] = None) -> Dict[str, np.ndarray]:
     Columns: congress, chamber, rollnumber, icpsr, cast_code (+prob).
     Built like data-raw/senate116.R: keep session-1 roll calls only.
     """
+    npz = _find(
+        path if path and path.endswith(".npz") else None,
+        os.path.join(_LOCAL_DATA, "senate116.npz"),
+    )
+    if npz:
+        with np.load(npz) as z:
+            return {
+                "rollnumber": z["rollnumber"].astype(np.int64),
+                "icpsr": z["icpsr"].astype(np.int64),
+                "cast_code": z["cast_code"].astype(np.int64),
+            }
+
     rda = _find(
         path if path and path.endswith(".rda") else None,
         os.path.join(_LOCAL_DATA, "senate116.rda"),
@@ -115,22 +130,37 @@ def senate116_response_matrix(verbose: bool = False) -> Tuple[ResponseMatrix, np
     return rm, senators, rolls
 
 
-def load_sdo(path: Optional[str] = None) -> np.ndarray:
-    """The SDO ordinal survey: (1500, 16) float with codes 1..5, NaN missing."""
+def load_sdo(path: Optional[str] = None, with_names: bool = False):
+    """The SDO ordinal survey: (1500, 16) float with codes 1..5, NaN missing.
+
+    With ``with_names=True`` also returns the list of item (column) names.
+    """
+    npz = _find(
+        path if path and path.endswith(".npz") else None,
+        os.path.join(_LOCAL_DATA, "SDO.npz"),
+    )
+    if npz:
+        with np.load(npz) as z:
+            mat = z["responses"].astype(np.float64)
+            names = [str(s) for s in z["item_names"]]
+        return (mat, names) if with_names else mat
+
     rda = _find(
         path,
         os.path.join(_LOCAL_DATA, "SDO.rda"),
         os.path.join(_REFERENCE_DATA, "SDO.rda"),
     )
     if not rda:
-        raise FileNotFoundError("SDO.rda not found")
+        raise FileNotFoundError("SDO data not found (data/SDO.npz or SDO.rda)")
     df = load_rda(rda)["SDO"].to_python()
-    cols = []
-    for v in df.values():
+    cols, names = [], []
+    for name, v in df.items():
         arr = np.asarray(v, dtype=np.float64)
         arr = np.where(arr == float(R_NA_INT), np.nan, arr)
         cols.append(arr)
-    return np.column_stack(cols)
+        names.append(str(name))
+    mat = np.column_stack(cols)
+    return (mat, names) if with_names else mat
 
 
 def simulate_2pl(

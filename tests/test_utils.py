@@ -121,35 +121,73 @@ class TestDatasets:
         assert is_response_matrix(rm)
 
     def test_csv_rebuild_matches_rda(self):
-        """The raw-CSV path reproduces the .rda frame exactly."""
+        """The raw-CSV path reproduces the vendored frame exactly."""
+        import os
+
         from gpirt_tpu.utils import datasets as D
 
-        rda = D.load_senate116()
-        csv = D.load_senate116.__wrapped__(None) if hasattr(D.load_senate116, "__wrapped__") else None
-        # force the CSV path by hiding the rda candidates
-        import os
-        old = D._REFERENCE_DATA
-        D._REFERENCE_DATA = "/nonexistent"
+        if not os.path.exists(os.path.join(D._REFERENCE_RAW, "S116_votes.csv")):
+            import pytest
+
+            pytest.skip("reference raw CSVs not available")
+        vendored = D.load_senate116()
+        # force the CSV path by hiding both npz/rda candidates
+        old_data, old_local = D._REFERENCE_DATA, D._LOCAL_DATA
+        D._REFERENCE_DATA = D._LOCAL_DATA = "/nonexistent"
         try:
             csv = D.load_senate116()
         finally:
-            D._REFERENCE_DATA = old
+            D._REFERENCE_DATA, D._LOCAL_DATA = old_data, old_local
         for k in ("rollnumber", "icpsr", "cast_code"):
-            np.testing.assert_array_equal(np.sort(rda[k]), np.sort(csv[k]))
+            np.testing.assert_array_equal(np.sort(vendored[k]), np.sort(csv[k]))
+
+    def test_standalone_without_reference_mount(self):
+        """Everything loads from the vendored in-repo data/ copies alone."""
+        from gpirt_tpu.utils import datasets as D
+
+        old_data, old_raw = D._REFERENCE_DATA, D._REFERENCE_RAW
+        D._REFERENCE_DATA = D._REFERENCE_RAW = "/nonexistent"
+        try:
+            df = D.load_senate116()
+            assert len(df["icpsr"]) == 42800
+            rm, senators, rolls = D.senate116_response_matrix()
+            assert rm.shape[0] == senators.size
+            sdo, names = D.load_sdo(with_names=True)
+            assert sdo.shape == (1500, 16) and names[0] == "q1"
+        finally:
+            D._REFERENCE_DATA, D._REFERENCE_RAW = old_data, old_raw
 
 
 class TestRData:
+    """Exercises the pure-Python RData reader against real .rda files.
+
+    Uses the reference mount as a source of genuine R-serialized files;
+    skipped when it isn't present (the framework itself no longer needs it —
+    the bundled datasets are vendored as data/*.npz)."""
+
     def test_sdo_roundtrip_types(self):
+        import os
+
+        import pytest
+
         from gpirt_tpu.utils.rdata import load_rda
 
+        if not os.path.exists("/root/reference/data/SDO.rda"):
+            pytest.skip("reference .rda not available")
         objs = load_rda("/root/reference/data/SDO.rda")
         assert "SDO" in objs
         df = objs["SDO"].to_python()
         assert isinstance(df, dict) and len(df) == 16
 
     def test_senate_rda(self):
+        import os
+
+        import pytest
+
         from gpirt_tpu.utils.rdata import load_rda
 
+        if not os.path.exists("/root/reference/data/senate116.rda"):
+            pytest.skip("reference .rda not available")
         objs = load_rda("/root/reference/data/senate116.rda")
         df = objs["senate116"].to_python()
         assert len(np.asarray(df["cast_code"])) == 42800
