@@ -45,6 +45,14 @@ class GPIRTConfig:
     # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
     mix_subsweeps: int = 1  # extra (fstar -> theta -> snap) passes per sweep
+    # Collective affine MH moves on theta with f* collapsed (conjugate path
+    # only — they need the Albert-Chib z-marginal). These traverse the global
+    # location/scale soft modes that dominate theta autocorrelation
+    # (measured tau ~ 250 sweeps on senate116 without them; see
+    # gibbs.affine_theta_moves and scripts/diag_mixing.py).
+    affine_rounds: int = 8  # (shift, dilation) MH pairs per sweep; 0 disables
+    affine_shift_max: int = 25  # max |shift| in grid steps (0.25 theta units)
+    affine_dilate_sd: float = 0.05  # sd of log dilation factor
     f_method: str = "auto"  # "auto" (conjugate where supported, else grid) |
     # "grid" (direct f* ESS, no per-iter Cholesky) |
     # "two_stage" (the reference's draw_f + draw_fstar pipeline) |
@@ -53,6 +61,29 @@ class GPIRTConfig:
     # 1.75x the grid method's ESS/sec on senate116)
 
     def __post_init__(self):
+        if min(self.n, self.m, self.horizon) < 1:
+            raise ValueError(
+                f"n, m, horizon must be >= 1 (got {self.n}, {self.m}, {self.horizon})"
+            )
+        if self.C < 2:
+            raise ValueError(f"need at least 2 ordinal categories, got C={self.C}")
+        if self.grid_size < 2:
+            raise ValueError(f"grid_size must be >= 2, got {self.grid_size}")
+        if self.mix_subsweeps < 1:
+            raise ValueError(
+                f"mix_subsweeps must be >= 1, got {self.mix_subsweeps} "
+                "(each sweep needs at least one latent/trait pass)"
+            )
+        if self.ess_max_rounds < 1:
+            raise ValueError(f"ess_max_rounds must be >= 1, got {self.ess_max_rounds}")
+        if self.affine_rounds < 0:
+            raise ValueError(f"affine_rounds must be >= 0, got {self.affine_rounds}")
+        if self.affine_rounds > 0 and (
+            self.affine_shift_max < 1 or self.affine_dilate_sd <= 0
+        ):
+            raise ValueError(
+                "affine moves need affine_shift_max >= 1 and affine_dilate_sd > 0"
+            )
         if self.theta_method not in ("grid", "ess"):
             raise ValueError(
                 f"theta_method must be 'grid' or 'ess', got {self.theta_method!r}"
@@ -86,22 +117,20 @@ class GPIRTConfig:
 
     @property
     def resolved_f_method(self) -> str:
-        """"auto" picks the fastest latent sampler the numerics can certify.
+        """"auto" picks the fastest latent sampler: Albert-Chib conjugate
+        (no ESS loops, exact Gaussian f*/beta draws) wherever implemented.
 
-        Albert-Chib conjugate (no ESS loops, exact Gaussian f*/beta draws)
-        where implemented AND where the GP-regression solve is accurate:
-        the forward error of the (K + I) solve scales with cond(K + I)
-        ~ n * k_max, which exceeds float32's headroom past n of a few
-        hundred (measured: stable at n=100 senate116, divergent at n=1500
-        SDO). Beyond that — or for constant_IRF — fall back to the
-        grid-native ESS sampler, which never solves against K at all.
-        float64 runs use conjugate at any n.
+        The conjugate solves run through the Woodbury rank-3 kernel split
+        (gibbs.WoodburyB): every factorization is of K_SE + I, whose
+        condition is <= n + 1 at any theta configuration, so float32 is
+        accurate at any data scale (round 1 had to fall back to the
+        grid-native sampler past n ~ 500 because the direct K + I solve
+        carries the polynomial kernel terms' ~theta^4 diagonal).
+        constant_IRF still uses the grid-native sampler.
         """
         if self.f_method != "auto":
             return self.f_method
         if self.constant_IRF:
-            return "grid"
-        if self.dtype == "float32" and self.n > 500:
             return "grid"
         return "conjugate"
 
@@ -161,6 +190,8 @@ class GPIRTConstants:
 
     grid: jnp.ndarray  # (N,) theta* grid
     grid_gram: jnp.ndarray  # (N, N) master ICC Gram over the grid (no jitter)
+    grid_gram_se: jnp.ndarray  # (N, N) squared-exponential part alone
+    Psi_grid: jnp.ndarray  # (N, 3) [sd0, sd1*t, sd2*t^2]: K = K_SE + Psi Psi^T
     L_grid: jnp.ndarray  # (N, N) chol(grid_gram + jitter I), f64-computed
     Xstar: jnp.ndarray  # (N, 3) [1, theta*, theta*^2]
     beta_prior_means: jnp.ndarray  # (3, m)
@@ -169,7 +200,6 @@ class GPIRTConstants:
     theta_prior_sds: jnp.ndarray  # (2, n)
     L_time: Optional[jnp.ndarray]  # (H, H) time-GP chol, or None outside GP regime
     Lambda_time: Optional[jnp.ndarray]  # (H, H) time-GP precision (grid Gibbs)
-    inducing: Optional[jnp.ndarray]  # (n_inducing,) inducing grid (constant_IRF)
 
 
 def make_constants(
@@ -187,6 +217,15 @@ def make_constants(
     L_grid = host_cholesky_f64(gram64, config.jitter, dtype=dt)
 
     Xstar = np.stack([np.ones(N), grid64, grid64**2], axis=1)
+    # Exact rank-3 split of the ICC kernel (src/covariance-function.cpp:3-18):
+    # K = K_SE + Psi Psi^T with Psi = [sd0, sd1*t, sd2*t^2]. The conjugate
+    # path solves against K_SE + I (condition <= n + 1 at ANY theta
+    # configuration) plus a 3x3 capacitance — float32-safe where a direct
+    # K + I factorization is not (the polynomial terms put ~theta^4 on the
+    # diagonal).
+    d = grid64[:, None] - grid64[None, :]
+    gram_se64 = np.exp(-0.5 * d * d)
+    Psi = Xstar * sds_col0[None, :]
 
     L_time = None
     Lambda_time = None
@@ -204,18 +243,11 @@ def make_constants(
             np.linalg.inv(Vt + config.jitter * np.eye(config.horizon)).astype(dt)
         )
 
-    inducing = None
-    if config.constant_IRF:
-        # Filled in lazily by the sampler (depends on theta range like the
-        # reference, src/draw-fstar.cpp:75, which uses linspace(min, max)).
-        # We pin it to the full grid range for staticness; see gibbs.py.
-        inducing = jnp.asarray(
-            np.linspace(THETA_LO, THETA_HI, config.n_inducing), dt
-        )
-
     return GPIRTConstants(
         grid=jnp.asarray(grid64, dt),
         grid_gram=jnp.asarray(gram64, dt),
+        grid_gram_se=jnp.asarray(gram_se64, dt),
+        Psi_grid=jnp.asarray(Psi, dt),
         L_grid=jnp.asarray(L_grid),
         Xstar=jnp.asarray(Xstar, dt),
         beta_prior_means=jnp.asarray(beta_prior_means, dt),
@@ -224,5 +256,4 @@ def make_constants(
         theta_prior_sds=jnp.asarray(theta_prior_sds, dt),
         L_time=L_time,
         Lambda_time=Lambda_time,
-        inducing=inducing,
     )

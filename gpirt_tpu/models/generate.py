@@ -30,37 +30,91 @@ from gpirt_tpu.ops.likelihood import delta_to_threshold
 __all__ = ["sample_prior_state", "sample_responses", "posterior_predictive"]
 
 
+def _sample_theta_prior(key, consts, config):
+    """Exact draw of theta_idx (H, n) from the sampler's grid prior.
+
+    CST: one theta per respondent shared across sessions, grid-discretized
+    N(0, 1 + sd_i^2) (reference src/draw-theta.cpp:158). RDM: independent per
+    (session, respondent). GP: the grid-Gibbs theta update's conditionals
+    derive from the lattice restriction of the time-GP Gaussian with
+    precision Lambda_time (gibbs._draw_theta_grid), so the matching prior is
+    the discrete MRF p(theta) ∝ exp(-theta' Lambda theta / 2) on grid^H —
+    sampled EXACTLY here by enumerating all grid^H session paths per
+    respondent (tractable at test sizes; guarded).
+    """
+    H, n = config.horizon, config.n
+    N = config.grid_size
+    dt = config.jdtype
+    regime = config.theta_regime
+    var = (1.0 + jnp.square(consts.theta_prior_sds[0])).astype(dt)  # (n,)
+
+    if regime == "CST":
+        logprior = -0.5 * jnp.square(consts.grid[None, :]) / var[:, None]  # (n, N)
+        idx = _gumbel_argmax(key, logprior, axis=1)  # (n,)
+        return jnp.broadcast_to(idx[None], (H, n))
+    if regime == "RDM":
+        logprior = jnp.broadcast_to(
+            -0.5 * jnp.square(consts.grid[None, None, :]) / var[None, :, None],
+            (H, n, N),
+        )
+        return _gumbel_argmax(key, logprior, axis=2)  # (H, n)
+
+    # GP regime: exact lattice draw by enumeration of grid^H paths
+    if N**H > 300_000:
+        raise NotImplementedError(
+            f"GP-regime prior enumeration needs grid_size^horizon <= 3e5 "
+            f"(got {N}^{H}); use a coarser test grid"
+        )
+    combos = jnp.stack(
+        jnp.meshgrid(*([consts.grid] * H), indexing="ij"), axis=-1
+    ).reshape(-1, H)  # (N^H, H)
+    lam = consts.Lambda_time.astype(dt)
+    logits = -0.5 * jnp.einsum("sh,hg,sg->s", combos, lam, combos)  # (N^H,)
+    # Lambda_time is built with zeroed prior sds (reference cache quirk,
+    # src/cholesky-cache.cpp:31), so logits are shared across respondents.
+    pick = _gumbel_argmax(
+        key, jnp.broadcast_to(logits[None], (n, N**H)), axis=1
+    )  # (n,)
+    strides = N ** jnp.arange(H - 1, -1, -1)  # meshgrid 'ij': axis 0 slowest
+    idx = (pick[:, None] // strides[None, :]) % N  # (n, H)
+    return idx.T.astype(jnp.int32)  # (H, n)
+
+
 def sample_prior_state(
     key: jax.Array, consts: GPIRTConstants, config: GPIRTConfig
 ) -> GPIRTState:
     """Draw (theta_idx, f*, beta, thresholds) from the sampler's prior.
 
-    CST regime: one theta per respondent (shared across sessions) with the
-    grid-discretized N(0, 1 + sd_i^2) prior. f* is drawn on the grid via the
-    precomputed grid Cholesky; f is its gather at theta.
+    Covers all three theta regimes (see _sample_theta_prior) and
+    constant_IRF (one shared grid function, beta, and cutpoint vector across
+    sessions, reference src/gpirtMCMC.cpp:164-202 + src/draw_threshold.cpp:
+    181-204). f* is drawn on the grid via the precomputed grid Cholesky;
+    f is its gather at theta.
     """
     H, n, m = config.horizon, config.n, config.m
     N, C = config.grid_size, config.C
     dt = config.jdtype
     k_t, k_f, k_b, k_d = jax.random.split(key, 4)
 
-    if config.theta_regime != "CST":
-        raise NotImplementedError(
-            "prior simulation currently covers the CST regime (H=1 or large ls)"
-        )
-    var = (1.0 + jnp.square(consts.theta_prior_sds[0])).astype(dt)  # (n,)
-    logprior = -0.5 * jnp.square(consts.grid[None, :]) / var[:, None]  # (n, N)
-    idx = _gumbel_argmax(k_t, logprior, axis=1)  # (n,)
-    theta_idx = jnp.broadcast_to(idx[None], (H, n))
-
-    z = jax.random.normal(k_f, (H, N, m), dt)
-    fstar = jnp.einsum("ab,hbm->ham", consts.L_grid, z)
+    theta_idx = _sample_theta_prior(k_t, consts, config)
 
     sd_b = jnp.sqrt(jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
-    beta = jax.random.normal(k_b, (H, 3, m), dt) * sd_b[None]
-
-    delta = jax.random.normal(k_d, (H, m, C - 1), dt)
-    thresholds = delta_to_threshold(delta)
+    if config.constant_IRF:
+        z = jax.random.normal(k_f, (N, m), dt)
+        fstar = jnp.broadcast_to((consts.L_grid @ z)[None], (H, N, m))
+        beta = jnp.broadcast_to(
+            jax.random.normal(k_b, (1, 3, m), dt) * sd_b[None], (H, 3, m)
+        )
+        delta = jax.random.normal(k_d, (1, m, C - 1), dt)
+        thresholds = jnp.broadcast_to(
+            delta_to_threshold(delta), (H, m, C + 1)
+        )
+    else:
+        z = jax.random.normal(k_f, (H, N, m), dt)
+        fstar = jnp.einsum("ab,hbm->ham", consts.L_grid, z)
+        beta = jax.random.normal(k_b, (H, 3, m), dt) * sd_b[None]
+        delta = jax.random.normal(k_d, (H, m, C - 1), dt)
+        thresholds = delta_to_threshold(delta)
 
     f = jnp.take_along_axis(fstar, theta_idx[:, :, None], axis=1)
     return GPIRTState(

@@ -64,6 +64,7 @@ __all__ = [
     "compute_mu",
     "total_loglik",
     "draw_fstar",
+    "affine_theta_moves",
 ]
 
 
@@ -414,8 +415,11 @@ def draw_fstar_conjugate(
     the grid is a GP-regression posterior; the pathwise (Matheron) draw is
         f* = u* + K_{*theta} (K_theta + I)^{-1} (z - mu - u - eps'),
     (u*, u) a joint prior draw (grid draw + gather) and eps' ~ N(0, I).
-    One (n, n) Cholesky of K_theta + I per sweep — superbly conditioned even
-    in float32 (unit diagonal noise) — shared across all items.
+    The (K_theta + I)^{-1} solve runs through the Woodbury rank-3 kernel
+    split (see WoodburyB): one (n, n) Cholesky of K_SE + I per sweep —
+    condition <= n + 1 at any theta, float32-accurate at any data scale
+    (the round-1 direct factorization lost float32 past n ~ 500) — shared
+    across all items.
 
     Args:
       z_resid: (H, n, m) z - mu (the GP-part observations).
@@ -432,21 +436,21 @@ def draw_fstar_conjugate(
     u_theta = jnp.take_along_axis(ustar, idx[:, :, None], axis=1)  # (H, n, m)
     eps = jax.random.normal(k_e, (H, n, m), dt)
 
-    gram = gather_theta_gram(idx, consts)  # (H, n, n)
-    eye = jnp.eye(n, dtype=dt)
-    B = gram + eye  # unit observation noise dominates any needed jitter
-    # correlation-form factorization for float32: K's diagonal spans orders
-    # of magnitude (quartic kernel term), which broke a raw fp32 Cholesky at
-    # n >= ~1500 on the SDO/synthetic configs. The correlation-scale nugget
-    # must stay tiny relative to the unit observation noise: 1e-5 adds at
-    # most ~0.06 extra variance at the grid extremes (diag <= ~5.9e3).
-    nug = 1e-5 if config.chol_normalized else 0.0
-    Lb = chol_with_jitter(B, nug, normalized=config.chol_normalized)
-    rhs = z_resid - u_theta - eps  # (H, n, m)
-    alpha = tri_solve(Lb, rhs)
-    alpha = tri_solve(Lb, alpha, trans=True)  # B^{-1} rhs
-    kstar = consts.grid_gram[idx]  # (H, n, N)
-    fstar = ustar + jnp.einsum("hna,hnm->ham", kstar, alpha)
+    wb = woodbury_factors(idx, consts)
+    alpha = woodbury_solve(wb, z_resid - u_theta - eps)  # B^{-1} rhs
+    # K_{*theta} alpha through the SAME rank-3 split: the raw contraction
+    # multiplies ~theta^4-sized kernel entries against alpha and cancels down
+    # to O(1) — measured error 400 vs true 16 under TPU bf16-default matmuls,
+    # and still ~10 under f32 without the split. K_SE entries are <= 1 and
+    # the polynomial part factors through 3-vectors; both contractions run at
+    # HIGHEST (true f32) precision — together ~6e7 MACs, negligible.
+    hi = jax.lax.Precision.HIGHEST
+    kstar_se = consts.grid_gram_se[idx]  # (H, n, N), entries <= 1
+    psi_theta = consts.Psi_grid[idx]  # (H, n, 3)
+    pa = jnp.einsum("hnp,hnm->hpm", psi_theta, alpha, precision=hi)  # (H,3,m)
+    fstar = (ustar
+             + jnp.einsum("hna,hnm->ham", kstar_se, alpha, precision=hi)
+             + jnp.einsum("ap,hpm->ham", consts.Psi_grid, pa, precision=hi))
     f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
     return fstar, f
 
@@ -463,39 +467,334 @@ def draw_beta_conjugate(
     z - f = X(theta) beta + eps, eps ~ N(0, 1), prior beta ~ N(0,
     diag(sds^2 + 1e-6)) (the sampler's zero-mean prior quirk, kept for
     parity with the ESS block). Per-(horizon, item) 3x3 posterior solves.
+
+    float32 robustness: the regression runs in the STANDARDIZED basis
+    Xt = [1, u, u^2] with u = (theta - c)/s (c, s the per-horizon location
+    and scale of theta) — an exact change of basis X = Xt T, prior precision
+    transformed as T^{-T} D^{-1} T^{-1}, draw mapped back by beta = T^{-1}
+    beta_t. The raw [1, theta, theta^2] Gram's condition number grows like
+    n * (|c| + s)^4 and a raw (even equilibrated) f32 solve fed O(1)-biased
+    betas into mu -> z -> f* runaways once the affine moves let theta visit
+    shifted/wide configurations; the standardized Gram is O(n)-conditioned
+    at ANY location and scale.
     """
     H, n, m = z_minus_f.shape
     dt = z_minus_f.dtype
-    X = build_X(theta)  # (H, n, 3)
-    XtX = jnp.einsum("hnp,hnq->hpq", X, X)  # (H, 3, 3)
-    Xtz = jnp.einsum("hnp,hnm->hpm", X, z_minus_f)  # (H, 3, m)
-    prior_prec = 1.0 / (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
-    # per-item posterior precision: XtX + diag(prior_prec[:, j])
-    prec = XtX[:, None] + jax.vmap(jnp.diag, 1, 0)(prior_prec)[None]  # (H, m, 3, 3)
-    # Column-equilibrate before factorizing: the [1, theta, theta^2] Gram's
-    # condition number grows like n * theta_max^4 (~1e6 at n=1500), and a raw
-    # float32 3x3 solve here feeds O(1)-biased betas into mu -> z -> f* — a
-    # runaway observed on the full SDO config. With prec = S C S
-    # (unit-diagonal C), the factorization is scale-free and fp32-safe.
-    s = jnp.sqrt(jnp.diagonal(prec, axis1=-2, axis2=-1))  # (H, m, 3)
-    inv_s = 1.0 / s
-    C = prec * (inv_s[..., :, None] * inv_s[..., None, :])
-    Lc = jnp.linalg.cholesky(C)
-    # mean = prec^{-1} Xtz = S^{-1} C^{-1} S^{-1} Xtz
-    rhs = jnp.swapaxes(Xtz, 1, 2) * inv_s  # (H, m, 3)
+    c = jnp.mean(theta, axis=1)  # (H,)
+    s = jnp.std(theta, axis=1) + jnp.asarray(1e-3, dt)  # (H,)
+    u = (theta - c[:, None]) / s[:, None]  # (H, n)
+    Xt = jnp.stack([jnp.ones_like(u), u, u * u], axis=-1)  # (H, n, 3)
+    # theta = s*u + c, theta^2 = s^2 u^2 + 2sc u + c^2, so X = Xt A with
+    # A = [[1, c, c^2], [0, s, 2sc], [0, 0, s^2]]; Minv = A^{-1} (analytic)
+    zero = jnp.zeros_like(c)
+    one = jnp.ones_like(c)
+    Minv = jnp.stack([
+        jnp.stack([one, -c / s, (c * c) / (s * s)], -1),
+        jnp.stack([zero, 1.0 / s, -2 * c / (s * s)], -1),
+        jnp.stack([zero, zero, 1.0 / (s * s)], -1),
+    ], -2)  # (H, 3, 3) = T^{-1}
+    hi = jax.lax.Precision.HIGHEST
+    XtX = jnp.einsum("hnp,hnq->hpq", Xt, Xt, precision=hi)  # (H, 3, 3)
+    Xtz = jnp.einsum("hnp,hnm->hpm", Xt, z_minus_f, precision=hi)  # (H, 3, m)
+    d_inv = 1.0 / (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
+    # prior precision in the standardized basis: M^T diag(d_inv_j) M
+    pp = jnp.einsum("hpq,pm,hpr->hmqr", Minv, d_inv, Minv, precision=hi)  # (H, m, 3, 3)
+    prec = XtX[:, None] + pp  # (H, m, 3, 3)
+    # equilibrate (scale-free factorization) and draw
+    sc = jnp.sqrt(jnp.diagonal(prec, axis1=-2, axis2=-1))  # (H, m, 3)
+    inv_sc = 1.0 / sc
+    Cm = prec * (inv_sc[..., :, None] * inv_sc[..., None, :])
+    Lc = jnp.linalg.cholesky(Cm)
+    rhs = jnp.swapaxes(Xtz, 1, 2) * inv_sc  # (H, m, 3)
     w = jax.lax.linalg.triangular_solve(
         Lc, rhs[..., None], left_side=True, lower=True
     )
     mean = jax.lax.linalg.triangular_solve(
         Lc, w, left_side=True, lower=True, transpose_a=True
-    )[..., 0] * inv_s  # (H, m, 3)
+    )[..., 0] * inv_sc  # (H, m, 3)
     zeta = jax.random.normal(key, (H, m, 3), dt)
-    # sample: mean + S^{-1} Lc^{-T} zeta  (covariance = prec^{-1})
     samp = jax.lax.linalg.triangular_solve(
         Lc, zeta[..., None], left_side=True, lower=True, transpose_a=True
-    )[..., 0] * inv_s
-    beta = mean + samp  # (H, m, 3)
+    )[..., 0] * inv_sc
+    beta_t = mean + samp  # (H, m, 3) in the standardized basis
+    beta = jnp.einsum("hpq,hmq->hmp", Minv, beta_t)  # back to [1, theta, theta^2]
     return jnp.swapaxes(beta, 1, 2)  # (H, 3, m)
+
+
+# ---------------------------------------------------------------------------
+# Woodbury solves against B = K(theta) + I  (conjugate path)
+# ---------------------------------------------------------------------------
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+class WoodburyB(NamedTuple):
+    """Factorization of B = K(theta) + I via the exact rank-3 kernel split
+    K = K_SE + Psi Psi^T (see make_constants): B = A + Psi Psi^T with
+    A = K_SE + I, so B^{-1} = A^{-1} - A^{-1} Psi C3^{-1} Psi^T A^{-1} and
+    logdet B = logdet A + logdet C3, C3 = I3 + Psi^T A^{-1} Psi.
+
+    cond(A) <= n + 1 for ANY theta configuration (K_SE has unit diagonal),
+    which keeps every conjugate-path solve float32-accurate — a direct
+    K + I factorization carries the polynomial kernel terms' ~theta^4
+    diagonal and loses float32 past moderate n or wide theta (the round-1
+    auto rule had to abandon the conjugate sampler at n > 500 over this).
+
+    TPU numerics: default matmul precision is bfloat16, including inside the
+    triangular-solve lowering (measured: 1e-3 relative solve error, which the
+    ~theta^4 kernel entries amplify 25x past the signal). Every solve here
+    therefore takes ONE iterative-refinement step against A at HIGHEST (true
+    f32) precision — cond(A) <= n + 1 makes a single step fully
+    f32-accurate — and every small contraction runs at HIGHEST outright.
+    """
+
+    La: jnp.ndarray       # (H, n, n) chol(A), A = K_SE + I
+    A: jnp.ndarray        # (H, n, n) kept for refinement residuals
+    Psi: jnp.ndarray      # (H, n, 3)
+    AinvPsi: jnp.ndarray  # (H, n, 3) refined A^{-1} Psi
+    C3: jnp.ndarray       # (H, 3, 3) I3 + Psi^T A^{-1} Psi
+    Lc3: jnp.ndarray      # (H, 3, 3) chol(C3)
+    logdet: jnp.ndarray   # (H,) logdet B per horizon
+
+
+def _a_solve(La, A, r):
+    """A^{-1} r via Cholesky solves + one f32 refinement step."""
+    x = tri_solve(La, tri_solve(La, r), trans=True)
+    res = r - jnp.einsum("hij,hjm->him", A, x, precision=_HI)
+    return x + tri_solve(La, tri_solve(La, res), trans=True)
+
+
+def _c3_solve(Lc3, C3, u):
+    """C3^{-1} u (3x3 per horizon) with one f32 refinement step."""
+    v = tri_solve(Lc3, tri_solve(Lc3, u), trans=True)
+    res = u - jnp.einsum("hpq,hqm->hpm", C3, v, precision=_HI)
+    return v + tri_solve(Lc3, tri_solve(Lc3, res), trans=True)
+
+
+def woodbury_factors(theta_idx: jnp.ndarray, consts: GPIRTConstants) -> WoodburyB:
+    H, n = theta_idx.shape
+    dt = consts.grid.dtype
+    A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
+    A = A + jnp.eye(n, dtype=dt)
+    La = jnp.linalg.cholesky(A)
+    Psi = consts.Psi_grid[theta_idx]  # (H, n, 3)
+    AinvPsi = _a_solve(La, A, Psi)  # (H, n, 3)
+    C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
+        "hnp,hnq->hpq", Psi, AinvPsi, precision=_HI
+    )
+    Lc3 = jnp.linalg.cholesky(C3)
+    logdet = 2.0 * (
+        jnp.sum(jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1)
+        + jnp.sum(jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=-1)
+    )
+    return WoodburyB(La=La, A=A, Psi=Psi, AinvPsi=AinvPsi, C3=C3, Lc3=Lc3,
+                     logdet=logdet)
+
+
+def woodbury_solve(wb: WoodburyB, r: jnp.ndarray) -> jnp.ndarray:
+    """B^{-1} r for (H, n, m) right-hand sides."""
+    x = _a_solve(wb.La, wb.A, r)  # (H, n, m)
+    u = jnp.einsum("hnp,hnm->hpm", wb.Psi, x, precision=_HI)  # (H, 3, m)
+    v = _c3_solve(wb.Lc3, wb.C3, u)
+    return x - jnp.einsum("hnp,hpm->hnm", wb.AinvPsi, v, precision=_HI)
+
+
+def woodbury_quad_parts(wb: WoodburyB, r: jnp.ndarray):
+    """(p, q) with r^T B^{-1} r = sum(p) - sum(q), both elementwise arrays.
+
+    p = r * (A^{-1} r) has shape (H, n, m); q = u * (C3^{-1} u) with
+    u = Psi^T A^{-1} r has shape (H, 3, m). Kept elementwise so MH
+    acceptance ratios can difference candidates entry-by-entry (the totals
+    are O(n*m) while candidate differences are O(1)).
+    """
+    x = _a_solve(wb.La, wb.A, r)
+    p = r * x
+    u = jnp.einsum("hnp,hnm->hpm", wb.Psi, x, precision=_HI)
+    v = _c3_solve(wb.Lc3, wb.C3, u)
+    return p, u * v
+
+
+# ---------------------------------------------------------------------------
+# collective affine moves (conjugate path)
+# ---------------------------------------------------------------------------
+
+
+def _theta_logprior_total(theta: jnp.ndarray, consts: GPIRTConstants,
+                          config: GPIRTConfig) -> jnp.ndarray:
+    """Total log-prior of a full theta configuration (H, n), scalar.
+
+    Matches the per-regime priors the grid-Gibbs theta update targets
+    (_draw_theta_grid): CST counts each respondent once with variance
+    1 + sds^2 (reference src/draw-theta.cpp:158), RDM per (session,
+    respondent), GP the time-kernel Gaussian with precision Lambda_time.
+    """
+    var = 1.0 + jnp.square(consts.theta_prior_sds[0]).astype(theta.dtype)  # (n,)
+    regime = config.theta_regime
+    if regime == "CST":
+        return -0.5 * jnp.sum(jnp.square(theta[0]) / var)
+    if regime == "RDM":
+        return -0.5 * jnp.sum(jnp.square(theta) / var[None, :])
+    lam = consts.Lambda_time.astype(theta.dtype)  # (H, H)
+    return -0.5 * jnp.einsum("hi,hg,gi->", theta, lam, theta)
+
+
+def _z_marginal_parts(
+    theta_idx: jnp.ndarray,
+    z: jnp.ndarray,
+    beta: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+):
+    """Pieces of log p(theta) + log p(z | theta, beta), GP f* marginalized.
+
+    Under the Albert-Chib augmentation the complete-data latents are
+    z = f(theta) + mu(theta) + eps with unit noise, so integrating f over its
+    GP prior gives z_.j ~ N(mu_j(theta), K_theta + I) — one shared (n, n)
+    factor across all m items per horizon (the same B the conjugate f* draw
+    solves against).
+
+    Returns (p, q, small): the Woodbury quadratic-form pieces (see
+    woodbury_quad_parts; quad = sum(p) - sum(q)) and
+    ``small = -0.5*m*logdet(B) + logprior``, the O(n)-sized remainder.
+    The caller forms acceptance ratios from the ELEMENTWISE differences:
+    the total quadratic form is O(n*m) ~ 1e5 while candidate differences are
+    O(1), which a float32 subtraction of totals would cancel away;
+    elementwise differencing keeps the error ~ sqrt(n*m)*eps.
+    """
+    H, n, m = z.shape
+    theta = theta_from_indices(theta_idx, consts)
+    mu = compute_mu(theta, beta)
+    wb = woodbury_factors(theta_idx, consts)
+    p, q = woodbury_quad_parts(wb, z - mu)
+    small = (-0.5 * m * jnp.sum(wb.logdet)
+             + _theta_logprior_total(theta, consts, config))
+    return p, q, small
+
+
+def _z_marginal_delta(parts_new, parts_old) -> jnp.ndarray:
+    """log-posterior difference new - old from _z_marginal_parts pieces."""
+    p_n, q_n, s_n = parts_new
+    p_o, q_o, s_o = parts_old
+    dquad = jnp.sum(p_n - p_o) - jnp.sum(q_n - q_o)
+    return -0.5 * dquad + (s_n - s_o)
+
+
+def _dilation_interval_logq(d: jnp.ndarray, dp: jnp.ndarray, sd: float):
+    """log q(idx -> idx') for the dilation proposal idx' = round(cen + a*d).
+
+    The set of dilation factors a = e^l (l ~ N(0, sd^2)) mapping centered
+    indices d to dp is the interval intersection over sites of
+    {a : a*d_i in [dp_i - 1/2, dp_i + 1/2]}; its proposal probability is an
+    exact Gaussian-CDF difference in log-factor space. Sites at the center
+    (d_i = 0) are unconstrained; dp_i = 0 with d_i != 0 is unreachable in
+    reverse (log q = -inf), which correctly rejects irreversible collapses
+    onto the center. float32-safe: bounds clamped inside [1e-30, 1e30].
+    """
+    from jax.scipy.special import log_ndtr
+
+    safe_d = jnp.where(d == 0, 1.0, d)
+    lo_pos = (dp - 0.5) / safe_d
+    hi_pos = (dp + 0.5) / safe_d
+    lo = jnp.where(d > 0, lo_pos, hi_pos)
+    hi = jnp.where(d > 0, hi_pos, lo_pos)
+    # d == 0: round(cen + a*0) == cen for every a, so dp == 0 is
+    # unconstrained and dp != 0 is unreachable (empty interval)
+    reachable = (d != 0) | (dp == 0)
+    lo = jnp.where(d == 0, 1e-30, lo)
+    hi = jnp.where(d == 0, 1e30, hi)
+    hi = jnp.where(reachable, hi, -1.0)  # forces a_hi < a_lo -> -inf
+    a_lo = jnp.clip(jnp.max(lo), 1e-30, 1e30)
+    a_hi = jnp.clip(jnp.min(hi), 1e-30, 1e30)
+    llo = jnp.log(a_lo) / sd
+    lhi = jnp.log(a_hi) / sd
+    # log(Phi(lhi) - Phi(llo)) stably: logPhi(hi) + log1p(-exp(logPhi(lo)-logPhi(hi)))
+    lp_hi = log_ndtr(lhi)
+    lp_lo = log_ndtr(llo)
+    diff = jnp.where(lp_hi > lp_lo, -jnp.expm1(lp_lo - lp_hi), 0.0)
+    logq = lp_hi + jnp.log(jnp.maximum(diff, 1e-30))
+    return jnp.where(a_hi > a_lo, logq, -jnp.inf)
+
+
+def affine_theta_moves(
+    key: jax.Array,
+    theta_idx: jnp.ndarray,
+    z: jnp.ndarray,
+    beta: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+) -> jnp.ndarray:
+    """Collective shift/dilation MH moves on the whole theta configuration.
+
+    The (theta | f*) / (f* | z) blocking leaves global soft modes — the
+    location and scale of the theta configuration, against which the
+    likelihood is nearly invariant with f compensating — mixing by O(1/sqrt(n))
+    accumulation per sweep (measured tau ~ 250 sweeps on senate116 while the
+    *standardized* configuration mixes ~12x faster; scripts/diag_mixing.py).
+    These moves update all respondents at once along exactly those modes:
+
+      shift:    idx' = idx + k,                k ~ +-Uniform{1..shift_max}
+      dilation: idx' = round(cen + a(idx-cen)), log a ~ N(0, dilate_sd^2)
+
+    with f* collapsed out through the z-marginal (see _z_marginal_logpost) —
+    a partially collapsed Gibbs step: z has already consumed the old f*, the
+    move targets pi(theta | z, beta, t), and f* is redrawn from its exact
+    conditional immediately after (gibbs_sweep order). The shift proposal is
+    lattice-symmetric; the dilation's round-to-grid map is corrected by exact
+    interval proposal probabilities (_dilation_interval_logq). Proposals that
+    leave the grid are rejected. Everything is elementwise/batched linear
+    algebra — vmap-safe across chains.
+    """
+    N = config.grid_size
+    cen = (N - 1) / 2.0
+    sd = config.affine_dilate_sd
+    K = config.affine_shift_max
+    dt = z.dtype
+
+    parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config)
+
+    def accept(carry_parts, cand_parts, acc):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(acc, b, a), carry_parts, cand_parts
+        )
+
+    def one_round(carry, k):
+        idx, parts = carry
+        k_s1, k_s2, k_su, k_d, k_du = jax.random.split(k, 5)
+
+        # --- shift ---
+        mag = jax.random.randint(k_s1, (), 1, K + 1, dtype=jnp.int32)
+        sign = (2 * jax.random.bernoulli(k_s2).astype(jnp.int32) - 1).astype(jnp.int32)
+        idx_s = idx + mag * sign
+        ok = (jnp.min(idx_s) >= 0) & (jnp.max(idx_s) <= N - 1)
+        idx_s = jnp.clip(idx_s, 0, N - 1)
+        parts_s = _z_marginal_parts(idx_s, z, beta, consts, config)
+        log_u = jnp.log(jax.random.uniform(k_su, (), dt))
+        acc = ok & (log_u < _z_marginal_delta(parts_s, parts))
+        idx = jnp.where(acc, idx_s, idx)
+        parts = accept(parts, parts_s, acc)
+
+        # --- dilation ---
+        ell = jax.random.normal(k_d, (), dt) * sd
+        a = jnp.exp(ell)
+        d = idx.astype(dt) - cen
+        idx_d = jnp.round(cen + a * d).astype(jnp.int32)
+        ok = (jnp.min(idx_d) >= 0) & (jnp.max(idx_d) <= N - 1)
+        idx_d = jnp.clip(idx_d, 0, N - 1)
+        dp = idx_d.astype(dt) - cen
+        logq_fwd = _dilation_interval_logq(d, dp, sd)
+        logq_rev = _dilation_interval_logq(dp, d, sd)
+        parts_d = _z_marginal_parts(idx_d, z, beta, consts, config)
+        log_u = jnp.log(jax.random.uniform(k_du, (), dt))
+        ratio = _z_marginal_delta(parts_d, parts) + logq_rev - logq_fwd
+        acc = ok & jnp.isfinite(ratio) & (log_u < ratio)
+        idx = jnp.where(acc, idx_d, idx)
+        parts = accept(parts, parts_d, acc)
+        return (idx, parts), acc
+
+    keys = jax.random.split(key, config.affine_rounds)
+    (idx, _), _ = jax.lax.scan(one_round, (theta_idx, parts0), keys)
+    return idx
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +841,11 @@ def _theta_ll_table(
     gstar = fstar + mu_star  # (H, N, m)
     logp = _category_logprobs(gstar, thresholds[:, None], C)  # (H, N, m, C)
     onehot = jax.nn.one_hot(y - 1, C, dtype=gstar.dtype)  # (H, n, m, C); y=0 -> zeros
-    return jnp.einsum("hkjc,hijc->hki", logp, onehot)
+    # HIGHEST: with TPU bf16-default matmuls this (m*C)-deep reduction of
+    # O(10)-sized log-probs carries +-1-4 absolute noise, visibly distorting
+    # the exact grid-Gibbs conditional; true-f32 passes cost < 1 ms here.
+    return jnp.einsum("hkjc,hijc->hki", logp, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _table_lookup(table: jnp.ndarray, idx_hn: jnp.ndarray) -> jnp.ndarray:
@@ -758,7 +1061,8 @@ def draw_threshold(
         def loglik(d):  # (m, C-1) -> (m,)
             thr = delta_to_threshold(d)  # (m, C+1)
             logp = _category_logprobs(g, thr[None, None], C)  # (H, n, m, C)
-            return jnp.einsum("hijc,hijc->j", logp, onehot)
+            return jnp.einsum("hijc,hijc->j", logp, onehot,
+                              precision=jax.lax.Precision.HIGHEST)
 
         d_new = ess_update(k_ess, delta, nu, loglik, max_rounds=config.ess_max_rounds)
         thr0 = delta_to_threshold(d_new)
@@ -770,7 +1074,8 @@ def draw_threshold(
     def loglik(d):  # (H, m, C-1) -> (H, m)
         thr = delta_to_threshold(d)  # (H, m, C+1)
         logp = _category_logprobs(g, thr[:, None], C)  # (H, n, m, C)
-        return jnp.einsum("hijc,hijc->hj", logp, onehot)
+        return jnp.einsum("hijc,hijc->hj", logp, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
 
     d_new = ess_update(k_ess, delta, nu, loglik, max_rounds=config.ess_max_rounds)
     return delta_to_threshold(d_new)
@@ -900,10 +1205,21 @@ def gibbs_sweep(
             theta = theta_from_indices(theta_idx, consts)
             mu = compute_mu(theta, state.beta)
             z = draw_z_truncnorm(
-                jax.random.fold_in(k_f, 2 * s), f + mu, y, state.thresholds
+                jax.random.fold_in(k_f, 3 * s), f + mu, y, state.thresholds
             )
+            if config.affine_rounds > 0:
+                # partially collapsed step: z has consumed the old f*; move
+                # theta collectively against the z-marginal, then regenerate
+                # f* from its exact conditional below (see affine_theta_moves)
+                theta_idx = affine_theta_moves(
+                    jax.random.fold_in(k_f, 3 * s + 1), theta_idx, z,
+                    state.beta, consts, config,
+                )
+                state = state._replace(theta_idx=theta_idx)
+                theta = theta_from_indices(theta_idx, consts)
+                mu = compute_mu(theta, state.beta)
             fstar, f = draw_fstar_conjugate(
-                jax.random.fold_in(k_f, 2 * s + 1), state, z - mu, config, consts
+                jax.random.fold_in(k_f, 3 * s + 2), state, z - mu, config, consts
             )
             state = state._replace(fstar=fstar, f=f)
         beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config)

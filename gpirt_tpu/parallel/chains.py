@@ -29,7 +29,8 @@ try:  # jax>=0.4.35 exposes shard_map at top level
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
-__all__ = ["run_chains", "run_chains_chunked", "make_chain_mesh", "chain_keys"]
+__all__ = ["run_chains", "run_chains_chunked", "make_chain_mesh", "chain_keys",
+           "ChunkedPrograms"]
 
 
 def make_chain_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
@@ -118,71 +119,174 @@ def run_chains_chunked(
     store_f: bool = False,
     store_fstar: bool = False,
     chunk_iterations: int = 250,
+    on_progress=None,
 ) -> Dict[str, jnp.ndarray]:
     """``run_chains`` split into bounded device executions.
 
     One monolithic XLA execution of a long scan can exceed runtime execution
     limits (a >60 s single call was observed to fault the tunneled TPU
-    runtime at 64 chains x 2500 iterations). This driver advances all chains
-    ``chunk_iterations`` sweeps per device call and assembles the thinned
-    draws on the host — the same key schedule as ``run_chains`` (iteration i
-    uses fold_in(k_run_chain, i)), so results match up to compile-level float
-    associativity.
+    runtime at 64 chains x 2500 iterations). This driver runs the same key
+    schedule as ``run_chains`` (iteration i uses fold_in(k_run_chain, i)) in
+    bounded pieces, so results match up to compile-level float associativity:
 
-    Output layouts match ``run_chains`` (leading chains axis) and stay on
-    device (recorded draws are gathered into device buffers; fetch or reduce
-    them with device-side diagnostics to avoid host-transfer costs).
+      * a burn/alignment phase of ~``chunk_iterations``-sweep device calls
+        with no outputs, then
+      * a record-structured sampling phase — each scan step records one
+        thinned draw then advances ``thin - 1`` sweeps (run_chain's
+        sample_step), so chunks emit exactly the thinned draws. No post-hoc
+        gathers, no overrun past the requested total, and at most two
+        compiled programs per phase (full chunk + final partial).
+
+    Recorded draws stay device-resident (concatenated device buffers); fetch
+    or reduce them with device-side diagnostics to avoid host-transfer costs.
+
+    ``on_progress(sweeps_done, sweeps_total)`` is invoked after every device
+    call — the analog of the reference's per-iteration progress printout
+    (src/gpirtMCMC.cpp:257-264), at chunk granularity so the hot loop stays
+    on device.
     """
-    from gpirt_tpu.models.gibbs import compute_mu_star
+    progs = ChunkedPrograms(
+        keys, y, thresholds_init, consts, config,
+        sample_iterations=sample_iterations, burn_iterations=burn_iterations,
+        thin=thin, store_f=store_f, store_fstar=store_fstar,
+    )
+    state = progs.init(theta_init)
+    total = progs.total
 
-    theta_init = jnp.asarray(theta_init, config.jdtype)
-    thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
-    init_axis = 0 if theta_init.ndim == 3 else None
-    total = sample_iterations + burn_iterations
+    # burn/alignment phase
+    done = 0
+    while done < progs.sched.pre_iterations:
+        c = min(chunk_iterations, progs.sched.pre_iterations - done)
+        state = progs.advance(state, done, c)
+        done += c
+        if on_progress is not None:
+            on_progress(done, total)
 
-    split = jax.vmap(jax.random.split)(keys)  # (K, 2, ...)
-    k_init = split[:, 0]
-    k_run = split[:, 1]
-
-    def _init_one(key, theta_init):
-        return init_state(key, theta_init, thresholds_init, y, consts, config)
-
-    def _advance_one(state, k_run, start):
-        def body(s, it):
-            s, ll = gibbs_sweep(s, jax.random.fold_in(k_run, it), y, consts, config)
-            out = {
-                "theta": theta_from_indices(s.theta_idx, consts),
-                "beta": s.beta,
-                "threshold": s.thresholds,
-                "ll": ll,
-            }
-            if store_f:
-                out["f"] = s.f
-            if store_fstar:
-                ms = compute_mu_star(consts, s.beta)
-                if config.constant_IRF:
-                    ms = jnp.broadcast_to(ms[:1], ms.shape)
-                out["fstar"] = s.fstar + ms
-            return s, out
-
-        its = start + jnp.arange(chunk_iterations)
-        return jax.lax.scan(body, state, its)
-
-    init_v = jax.jit(jax.vmap(_init_one, in_axes=(0, init_axis)))
-    advance_v = jax.jit(jax.vmap(_advance_one, in_axes=(0, 0, None)))
-
-    state = init_v(k_init, theta_init)
+    # sampling phase, in records
+    recs_per_chunk = max(chunk_iterations // thin, 1)
     acc: Dict[str, list] = {}
-    it = 0
-    while it < total:
-        k = min(chunk_iterations, total - it)
-        state, outs = advance_v(state, k_run, it)
-        # select recorded iterations of this chunk in one device gather
-        rec = [j for j in range(k)
-               if (it + j) >= burn_iterations and (it + j) % thin == 0]
-        if rec:
-            idx = jnp.asarray(rec)
-            for name, arr in outs.items():
-                acc.setdefault(name, []).append(jnp.take(arr, idx, axis=1))
-        it += k
+    rec = 0
+    while rec < progs.sched.n_samples:
+        c = min(recs_per_chunk, progs.sched.n_samples - rec)
+        state, outs = progs.records(state, rec, c)
+        for name, arr in outs.items():
+            acc.setdefault(name, []).append(arr)
+        rec += c
+        if on_progress is not None:
+            on_progress(min(progs.sched.pre_iterations + rec * thin, total), total)
+
+    if not acc:
+        return {}
     return {name: jnp.concatenate(v, axis=1) for name, v in acc.items()}
+
+
+class ChunkedPrograms:
+    """Compiled building blocks for chunked multi-chain execution.
+
+    Wraps the vmapped init / advance-`count`-sweeps / emit-`count`-records
+    programs with a per-count compile cache (at most two counts per phase:
+    the full chunk and the final partial). Shared by ``run_chains_chunked``
+    and the checkpointed drivers (gpirt_tpu.utils.checkpoint) so both run
+    the exact run_chain key schedule.
+    """
+
+    def __init__(self, keys, y, thresholds_init, consts, config, *,
+                 sample_iterations, burn_iterations, thin,
+                 store_f=False, store_fstar=False):
+        from gpirt_tpu.models.sampler import sample_schedule
+
+        self.y = y
+        self.consts = consts
+        self.config = config
+        self.thin = thin
+        self.store_f = store_f
+        self.store_fstar = store_fstar
+        self.thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
+        self.sched = sample_schedule(sample_iterations, burn_iterations, thin)
+        self.total = sample_iterations + burn_iterations
+        split = jax.vmap(jax.random.split)(keys)  # (K, 2, ...)
+        self.k_init = split[:, 0]
+        self.k_run = split[:, 1]
+        self._compiled: Dict[tuple, Any] = {}
+
+    def init(self, theta_init):
+        theta_init = jnp.asarray(theta_init, self.config.jdtype)
+        init_axis = 0 if theta_init.ndim == 3 else None
+
+        def one(key, ti):
+            return init_state(key, ti, self.thresholds_init, self.y,
+                              self.consts, self.config)
+
+        return jax.jit(jax.vmap(one, in_axes=(0, init_axis)))(
+            self.k_init, theta_init
+        )
+
+    def _record(self, s, ll):
+        from gpirt_tpu.models.gibbs import compute_mu_star
+
+        out = {
+            "theta": theta_from_indices(s.theta_idx, self.consts),
+            "beta": s.beta,
+            "threshold": s.thresholds,
+            "ll": ll,
+        }
+        if self.store_f:
+            out["f"] = s.f
+        if self.store_fstar:
+            ms = compute_mu_star(self.consts, s.beta)
+            if self.config.constant_IRF:
+                ms = jnp.broadcast_to(ms[:1], ms.shape)
+            out["fstar"] = s.fstar + ms
+        return out
+
+    def advance(self, state, start, count):
+        """Advance all chains `count` sweeps from absolute iteration `start`."""
+        fn = self._compiled.get(("advance", count))
+        if fn is None:
+            y, consts, config = self.y, self.consts, self.config
+
+            def one(s, kr, st):
+                def body(carry, j):
+                    carry, _ = gibbs_sweep(
+                        carry, jax.random.fold_in(kr, st + j), y, consts, config
+                    )
+                    return carry, None
+                s, _ = jax.lax.scan(body, s, jnp.arange(count))
+                return s
+
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
+            self._compiled[("advance", count)] = fn
+        return fn(state, self.k_run, start)
+
+    def records(self, state, start_rec, count):
+        """Emit `count` thinned records starting at record index `start_rec`."""
+        fn = self._compiled.get(("records", count))
+        if fn is None:
+            y, consts, config = self.y, self.consts, self.config
+            thin, pre = self.thin, self.sched.pre_iterations
+            record = self._record
+
+            def one(s, kr, r0):
+                # run_chain records after sweep `start`, then advances the
+                # remaining thin-1 sweeps; reproduce that exactly:
+                def step(carry, r):
+                    start = pre + (r0 + r) * thin
+                    carry, ll = gibbs_sweep(
+                        carry, jax.random.fold_in(kr, start), y, consts, config
+                    )
+                    out = record(carry, ll)
+                    def body(c, j):
+                        c, _ = gibbs_sweep(
+                            c, jax.random.fold_in(kr, start + 1 + j), y,
+                            consts, config,
+                        )
+                        return c, None
+                    carry, _ = jax.lax.scan(
+                        body, carry, jnp.arange(max(thin - 1, 0))
+                    )
+                    return carry, out
+                return jax.lax.scan(step, s, jnp.arange(count))
+
+            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
+            self._compiled[("records", count)] = fn
+        return fn(state, self.k_run, start_rec)

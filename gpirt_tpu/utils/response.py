@@ -54,12 +54,33 @@ class ResponseMatrix(np.ndarray):
     """An (n, m) float array with values in {-1.0, +1.0, NaN}.
 
     Subclassing ndarray mirrors the reference's S3 "class on a matrix"
-    pattern while keeping numpy semantics.
+    pattern while keeping numpy semantics. Row/column labels are preserved
+    through recoding like the reference's dimnames (R/response_matrix.R:65-69)
+    as ``row_names`` / ``col_names`` (None when the input carried none).
     """
 
-    def __new__(cls, data):
+    def __new__(cls, data, row_names=None, col_names=None):
         arr = np.asarray(data, dtype=np.float64).view(cls)
+        arr.row_names = list(row_names) if row_names is not None else None
+        arr.col_names = list(col_names) if col_names is not None else None
         return arr
+
+    def __array_finalize__(self, obj):
+        if obj is None:
+            return
+        self.row_names = getattr(obj, "row_names", None)
+        self.col_names = getattr(obj, "col_names", None)
+
+
+def _extract_dimnames(data):
+    """Row/column labels from dataframe-likes (pandas) or column dicts."""
+    if isinstance(data, dict):
+        return None, list(data.keys())
+    idx = getattr(data, "index", None)
+    cols = getattr(data, "columns", None)
+    if idx is not None and cols is not None:  # pandas DataFrame duck-type
+        return list(idx), list(cols)
+    return None, None
 
 
 def response_matrix(
@@ -81,6 +102,7 @@ def response_matrix(
     """
     if response_codes is None:
         response_codes = DEFAULT_VOTE_CODES
+    row_names, col_names = _extract_dimnames(data)
     if isinstance(data, dict):
         cols = list(data.values())
         arr = np.column_stack([np.asarray(c, dtype=object) for c in cols])
@@ -90,6 +112,10 @@ def response_matrix(
         )
     else:
         arr = np.asarray(data, dtype=object)
+    if row_names is None:
+        row_names = getattr(data, "row_names", None)
+    if col_names is None:
+        col_names = getattr(data, "col_names", None)
     if arr.ndim != 2:
         raise ValueError(f"expected a 2-D response matrix, got shape {arr.shape}")
 
@@ -136,8 +162,10 @@ def response_matrix(
                 f" {verb} discarded as unanimous."
             )
         out = out[:, keep]
+        if col_names is not None:
+            col_names = [col_names[j] for j in keep]
 
-    return ResponseMatrix(out)
+    return ResponseMatrix(out, row_names=row_names, col_names=col_names)
 
 
 def _norm_code(v):

@@ -34,8 +34,10 @@ class TestCheckpoint:
         # identical key schedule => same draws up to compilation-level float
         # associativity (chunked vs nested scans compile differently)
         np.testing.assert_array_equal(np.asarray(plain["theta"]), ck["theta"])
-        np.testing.assert_allclose(np.asarray(plain["beta"]), ck["beta"], rtol=1e-12)
-        np.testing.assert_allclose(np.asarray(plain["ll"]), ck["ll"], rtol=1e-12)
+        # vmapped (K=1) vs plain programs compile differently; f64
+        # associativity noise only
+        np.testing.assert_allclose(np.asarray(plain["beta"]), ck["beta"], rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(plain["ll"]), ck["ll"], rtol=1e-9)
 
     def test_resume_after_interrupt(self, tmp_path):
         y, ti, thr, consts, config = _setup()

@@ -96,6 +96,80 @@ class TestGeweke:
         assert not fails, fails
 
 
+class TestGewekeRegimes:
+    """Joint-distribution oracle in the dynamic-theta regimes and
+    constant_IRF (VERDICT r1 item 5): RDM (independent theta per session),
+    GP (time-GP prior, exact lattice-enumerated prior draw), and the
+    stacked/shared constant-IRF mode."""
+
+    def _run(self, config, n, m, H, C, seed=0):
+        consts = make_constants(
+            config,
+            beta_prior_means=np.zeros((3, m)),
+            beta_prior_sds=np.full((3, m), 1.5),
+            theta_prior_means=np.zeros((2, n)),
+            theta_prior_sds=np.zeros((2, n)),
+        )
+
+        @jax.jit
+        def forward(key):
+            st = sample_prior_state(key, consts, config)
+            return _stats(st, consts)
+
+        fwd = np.asarray(
+            jax.vmap(forward)(jax.random.split(jax.random.key(seed), 4000))
+        )
+
+        @jax.jit
+        def sc_step(carry, key):
+            st, y = carry
+            k1, k2 = jax.random.split(key)
+            st, _ = gibbs_sweep(st, k1, y, consts, config)
+            y = sample_responses(k2, st, consts, config)
+            return (st, y), _stats(st, consts)
+
+        k0, k1, kr = jax.random.split(jax.random.key(seed + 1), 3)
+        st0 = sample_prior_state(k0, consts, config)
+        y0 = sample_responses(k1, st0, consts, config)
+        _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
+        sc = np.asarray(sc)[500::3]
+
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        fails = []
+        for j, name in enumerate(names):
+            mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
+            x = sc[:, j]
+            nb = len(x) // 40
+            bm = x[: nb * 40].reshape(nb, 40).mean(axis=1)
+            z = (mf - x.mean()) / np.sqrt(vf + bm.var(ddof=1) / nb + 1e-12)
+            if abs(z) > 4.5:
+                fails.append((name, float(z)))
+        assert not fails, fails
+
+    def test_rdm_conjugate(self):
+        n, m, H, C, N = 5, 3, 2, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             theta_ls=0.05)  # ls <= 0.1 -> RDM
+        assert config.theta_regime == "RDM"
+        self._run(config, n, m, H, C)
+
+    def test_gp_conjugate(self):
+        n, m, H, C, N = 5, 3, 2, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             theta_ls=1.0)  # 0.1 < ls < 3H -> GP
+        assert config.theta_regime == "GP"
+        self._run(config, n, m, H, C)
+
+    def test_constant_irf_grid(self):
+        n, m, H, C, N = 5, 3, 2, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="grid",
+                             constant_IRF=True)
+        self._run(config, n, m, H, C)
+
+
 class TestGewekeConjugate:
     def test_joint_distribution_conjugate(self):
         """The Albert-Chib conjugate sampler (f_method='conjugate') targets
