@@ -45,14 +45,15 @@ class GPIRTConfig:
     # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
     mix_subsweeps: int = 1  # extra (fstar -> theta -> snap) passes per sweep
-    # Collective affine MH moves on theta with f* collapsed (conjugate path
-    # only — they need the Albert-Chib z-marginal). These traverse the global
-    # location/scale soft modes that dominate theta autocorrelation
-    # (measured tau ~ 250 sweeps on senate116 without them; see
-    # gibbs.affine_theta_moves and scripts/diag_mixing.py).
-    affine_rounds: int = 8  # (shift, dilation) MH pairs per sweep; 0 disables
-    affine_shift_max: int = 25  # max |shift| in grid steps (0.25 theta units)
-    affine_dilate_sd: float = 0.05  # sd of log dilation factor
+    # Collective affine MH moves on (theta, beta) with f* collapsed
+    # (conjugate path only — they need the Albert-Chib z-marginal). These
+    # traverse the global location/scale soft modes that dominate theta
+    # autocorrelation (measured tau ~ 2000+ sweeps on senate116 without
+    # them; see gibbs.affine_theta_moves and scripts/diag_mixing.py).
+    affine_rounds: int = 2  # dilation MH rounds per sweep; 0 disables all
+    # affine moves (incl. the shift orbit-Gibbs draw)
+    affine_shift_max: int = 16  # half-window W of the shift orbit-Gibbs draw
+    affine_dilate_sd: float = 0.02  # sd of log dilation factor
     f_method: str = "auto"  # "auto" (conjugate where supported, else grid) |
     # "grid" (direct f* ESS, no per-iter Cholesky) |
     # "two_stage" (the reference's draw_f + draw_fstar pipeline) |

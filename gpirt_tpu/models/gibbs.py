@@ -53,7 +53,7 @@ from gpirt_tpu.ops.likelihood import (
     delta_to_threshold,
     threshold_to_delta,
 )
-from gpirt_tpu.ops.linalg import chol_with_jitter, tri_solve
+from gpirt_tpu.ops.linalg import chol3, chol_with_jitter, tri3_solve, tri_solve
 
 __all__ = [
     "GPIRTState",
@@ -65,6 +65,7 @@ __all__ = [
     "total_loglik",
     "draw_fstar",
     "affine_theta_moves",
+    "shift_orbit_gibbs",
 ]
 
 
@@ -504,18 +505,13 @@ def draw_beta_conjugate(
     sc = jnp.sqrt(jnp.diagonal(prec, axis1=-2, axis2=-1))  # (H, m, 3)
     inv_sc = 1.0 / sc
     Cm = prec * (inv_sc[..., :, None] * inv_sc[..., None, :])
-    Lc = jnp.linalg.cholesky(Cm)
+    Lc = chol3(Cm)  # closed-form: 27k tiny LAPACK factorizations lower as
+    # pure-latency loops on TPU; the scalar recurrence is elementwise VPU work
     rhs = jnp.swapaxes(Xtz, 1, 2) * inv_sc  # (H, m, 3)
-    w = jax.lax.linalg.triangular_solve(
-        Lc, rhs[..., None], left_side=True, lower=True
-    )
-    mean = jax.lax.linalg.triangular_solve(
-        Lc, w, left_side=True, lower=True, transpose_a=True
-    )[..., 0] * inv_sc  # (H, m, 3)
+    w = tri3_solve(Lc, rhs[..., None])
+    mean = tri3_solve(Lc, w, trans=True)[..., 0] * inv_sc  # (H, m, 3)
     zeta = jax.random.normal(key, (H, m, 3), dt)
-    samp = jax.lax.linalg.triangular_solve(
-        Lc, zeta[..., None], left_side=True, lower=True, transpose_a=True
-    )[..., 0] * inv_sc
+    samp = tri3_solve(Lc, zeta[..., None], trans=True)[..., 0] * inv_sc
     beta_t = mean + samp  # (H, m, 3) in the standardized basis
     beta = jnp.einsum("hpq,hmq->hmp", Minv, beta_t)  # back to [1, theta, theta^2]
     return jnp.swapaxes(beta, 1, 2)  # (H, 3, m)
@@ -566,10 +562,15 @@ def _a_solve(La, A, r):
 
 
 def _c3_solve(Lc3, C3, u):
-    """C3^{-1} u (3x3 per horizon) with one f32 refinement step."""
-    v = tri_solve(Lc3, tri_solve(Lc3, u), trans=True)
-    res = u - jnp.einsum("hpq,hqm->hpm", C3, v, precision=_HI)
-    return v + tri_solve(Lc3, tri_solve(Lc3, res), trans=True)
+    """C3^{-1} u (batched 3x3) with one f32 refinement step.
+
+    Closed-form 3x3 substitutions (ops.linalg.tri3_solve) — elementwise over
+    any leading batch shape, so the shift orbit's (J, H, 3, m) solves are one
+    fused VPU op instead of J*H tiny LAPACK calls.
+    """
+    v = tri3_solve(Lc3, tri3_solve(Lc3, u), trans=True)
+    res = u - jnp.einsum("...pq,...qm->...pm", C3, v, precision=_HI)
+    return v + tri3_solve(Lc3, tri3_solve(Lc3, res), trans=True)
 
 
 def woodbury_factors(theta_idx: jnp.ndarray, consts: GPIRTConstants) -> WoodburyB:
@@ -583,7 +584,7 @@ def woodbury_factors(theta_idx: jnp.ndarray, consts: GPIRTConstants) -> Woodbury
     C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
         "hnp,hnq->hpq", Psi, AinvPsi, precision=_HI
     )
-    Lc3 = jnp.linalg.cholesky(C3)
+    Lc3 = chol3(C3)
     logdet = 2.0 * (
         jnp.sum(jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1)
         + jnp.sum(jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=-1)
@@ -716,6 +717,129 @@ def _dilation_interval_logq(d: jnp.ndarray, dp: jnp.ndarray, sd: float):
     return jnp.where(a_hi > a_lo, logq, -jnp.inf)
 
 
+def _beta_shift_map(beta: jnp.ndarray, delta) -> jnp.ndarray:
+    """T_delta(beta): the unique coefficient map with mu_{beta'}(theta +
+    delta) == mu_beta(theta) pointwise. Unit-triangular in (b0, b1, b2), so
+    |det dT/dbeta| = 1 — a measure-preserving deterministic MH coupling.
+    """
+    b0, b1, b2 = beta[:, 0], beta[:, 1], beta[:, 2]
+    return jnp.stack(
+        [b0 - b1 * delta + b2 * delta * delta, b1 - 2.0 * b2 * delta, b2],
+        axis=1,
+    )
+
+
+def _beta_logprior_delta(beta_new, beta_old, consts) -> jnp.ndarray:
+    """log p(beta') - log p(beta) under the sampler's N(0, sds^2 + 1e-6)
+    prior (the reference's zero-mean ESS-prior quirk, src/draw-beta.cpp:16).
+    Computed elementwise-then-summed so float32 keeps the O(1) difference."""
+    var = (jnp.square(consts.beta_prior_sds) + 1e-6).astype(beta_new.dtype)
+    return -0.5 * jnp.sum(
+        (jnp.square(beta_new) - jnp.square(beta_old)) / var[None]
+    )
+
+
+def shift_orbit_gibbs(
+    key: jax.Array,
+    theta_idx: jnp.ndarray,
+    z: jnp.ndarray,
+    beta: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+):
+    """Windowed Gibbs draw of the collective location mode. Returns
+    (theta_idx, beta).
+
+    The compensated-shift group G_k(theta, beta) = (theta + k steps,
+    T_k beta) (_beta_shift_map; T composes exactly, so the orbit of the
+    current state is closed) leaves two quantities of the z-marginal
+    EXACTLY invariant: A = K_SE + I (the SE Gram depends only on pairwise
+    distances, which a uniform-grid shift preserves) and the residual
+    r = z - mu (the compensation keeps mu pointwise invariant). The
+    expensive pieces — the (n, n) Cholesky and A^{-1}r — are therefore
+    computed ONCE, and every orbit member costs only rank-3 gathers,
+    (n, 3)-solves and 3x3 algebra: ~100x cheaper per candidate than a full
+    _z_marginal_parts evaluation.
+
+    That makes an (almost-)Gibbs draw over a whole window of shifts
+    affordable every sweep: log pi is evaluated on offsets [-2W, 2W], a
+    candidate is drawn from the softmax over the centered window [-W, W],
+    and the draw is Metropolized with the window-normalizer ratio
+    Z(center)/Z(candidate window) — exact for the windowed proposal
+    (plain truncation to a state-centered window would bias the draw near
+    the window edges). W = config.affine_shift_max.
+    """
+    N = config.grid_size
+    W = config.affine_shift_max
+    dt = z.dtype
+    step = 10.0 / (N - 1)
+    H, n, m = z.shape
+    J = 4 * W + 1
+    offs = jnp.arange(-2 * W, 2 * W + 1, dtype=jnp.int32)  # (J,)
+
+    theta = theta_from_indices(theta_idx, consts)
+    mu = compute_mu(theta, beta)
+    r = z - mu
+
+    # orbit-invariant heavy pieces
+    A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
+    A = A + jnp.eye(n, dtype=dt)
+    La = jnp.linalg.cholesky(A)
+
+    idx_j = theta_idx[None] + offs[:, None, None]  # (J, H, n)
+    valid = (jnp.min(idx_j, axis=(1, 2)) >= 0) & (
+        jnp.max(idx_j, axis=(1, 2)) <= N - 1
+    )  # (J,)
+    idx_jc = jnp.clip(idx_j, 0, N - 1)
+
+    Psi_j = consts.Psi_grid[idx_jc]  # (J, H, n, 3)
+    Pfl = jnp.transpose(Psi_j, (1, 2, 0, 3)).reshape(H, n, J * 3)
+    # one fused solve for both A^{-1}r and A^{-1}Psi_j (triangular solves on
+    # TPU are latency-bound in n; batching the rhs widths is ~free)
+    sol = _a_solve(La, A, jnp.concatenate([r, Pfl], axis=-1))
+    x, AinvP = sol[..., :m], sol[..., m:]
+    u = jnp.einsum("jhnp,hnm->jhpm", Psi_j, x, precision=_HI)  # (J, H, 3, m)
+    AinvP = AinvP.reshape(H, n, J, 3)
+    AinvP = jnp.transpose(AinvP, (2, 0, 1, 3))  # (J, H, n, 3)
+    C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
+        "jhnp,jhnq->jhpq", Psi_j, AinvP, precision=_HI
+    )
+    Lc3 = chol3(C3)
+    v = _c3_solve(Lc3, C3, u)  # (J, H, 3, m)
+    q = jnp.einsum("jhpm,jhpm->j", u, v, precision=_HI)
+    logdet_c3 = 2.0 * jnp.sum(
+        jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=(1, 2)
+    )  # (J,)
+
+    th_j = consts.grid[idx_jc].astype(dt)  # (J, H, n)
+    thp = jax.vmap(lambda th: _theta_logprior_total(th, consts, config))(th_j)
+    delta_j = offs.astype(dt) * jnp.asarray(step, dt)  # (J,)
+    beta_j = jax.vmap(lambda d: _beta_shift_map(beta, d))(delta_j)  # (J,H,3,m)
+    var_b = (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)
+    bp = -0.5 * jnp.sum(jnp.square(beta_j) / var_b[None, None], axis=(1, 2, 3))
+
+    # relative log pi over the orbit (the invariant sum(p) term drops):
+    # -0.5(sum p - q_j) - 0.5 m logdet(A) - 0.5 m logdet(C3_j) + priors
+    logp = 0.5 * q - 0.5 * m * logdet_c3 + thp + bp
+    logp = jnp.where(valid, logp, -jnp.inf)
+
+    k_pick, k_acc = jax.random.split(key)
+    center = jax.lax.dynamic_slice_in_dim(logp, W, 2 * W + 1)  # offsets -W..W
+    pick = _gumbel_argmax(k_pick, center[None], axis=1)[0]  # 0..2W
+    o_star = pick - W
+    logZ_s = jax.scipy.special.logsumexp(center)
+    rev = jax.lax.dynamic_slice_in_dim(logp, W + o_star, 2 * W + 1)
+    logZ_r = jax.scipy.special.logsumexp(rev)
+    log_u = jnp.log(jax.random.uniform(k_acc, (), dt))
+    acc = log_u < (logZ_s - logZ_r)
+
+    j_star = jnp.where(acc, 2 * W + o_star, 2 * W)
+    return (
+        jnp.clip(theta_idx + jnp.where(acc, o_star, 0), 0, N - 1),
+        beta_j[j_star],
+    )
+
+
 def affine_theta_moves(
     key: jax.Array,
     theta_idx: jnp.ndarray,
@@ -723,33 +847,46 @@ def affine_theta_moves(
     beta: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
-) -> jnp.ndarray:
-    """Collective shift/dilation MH moves on the whole theta configuration.
+):
+    """Collective shift/dilation MH moves on (theta, beta). Returns
+    (theta_idx, beta).
 
     The (theta | f*) / (f* | z) blocking leaves global soft modes — the
     location and scale of the theta configuration, against which the
-    likelihood is nearly invariant with f compensating — mixing by O(1/sqrt(n))
-    accumulation per sweep (measured tau ~ 250 sweeps on senate116 while the
-    *standardized* configuration mixes ~12x faster; scripts/diag_mixing.py).
-    These moves update all respondents at once along exactly those modes:
+    likelihood is nearly invariant with f and beta compensating — mixing by
+    O(1/sqrt(n)) accumulation per sweep (measured tau ~ 2000+ sweeps on
+    senate116 while the *standardized* configuration mixes ~13x faster;
+    scripts/diag_mixing.py). These moves update all respondents at once
+    along exactly those modes, with f* collapsed out through the z-marginal
+    (_z_marginal_parts) — a partially collapsed step: z has already consumed
+    the old f*, the move targets pi(theta, beta | z, t), and f* is redrawn
+    from its exact conditional immediately after (gibbs_sweep order).
 
-      shift:    idx' = idx + k,                k ~ +-Uniform{1..shift_max}
-      dilation: idx' = round(cen + a(idx-cen)), log a ~ N(0, dilate_sd^2)
+      shift:    one windowed Gibbs draw over the compensated-shift orbit
+                (theta + k, T_k beta) — see shift_orbit_gibbs. Exactly the
+                collective analog of the per-respondent grid-Gibbs theta
+                update, and nearly free (the orbit shares the (n, n)
+                factorization).
+      dilation: idx' = round(cen + a(idx-cen)), log a ~ N(0, dilate_sd^2),
+                beta unchanged (the compensating map for dilation has
+                Jacobian a^{-3mH}, which concentrates all mass — so the
+                scale mode moves uncompensated in small steps). The
+                round-to-grid map is corrected by exact interval proposal
+                probabilities (_dilation_interval_logq); affine_rounds MH
+                rounds per sweep.
 
-    with f* collapsed out through the z-marginal (see _z_marginal_logpost) —
-    a partially collapsed Gibbs step: z has already consumed the old f*, the
-    move targets pi(theta | z, beta, t), and f* is redrawn from its exact
-    conditional immediately after (gibbs_sweep order). The shift proposal is
-    lattice-symmetric; the dilation's round-to-grid map is corrected by exact
-    interval proposal probabilities (_dilation_interval_logq). Proposals that
-    leave the grid are rejected. Everything is elementwise/batched linear
-    algebra — vmap-safe across chains.
+    Proposals that leave the grid are rejected. Everything is
+    elementwise/batched linear algebra — vmap-safe across chains.
     """
     N = config.grid_size
     cen = (N - 1) / 2.0
     sd = config.affine_dilate_sd
-    K = config.affine_shift_max
     dt = z.dtype
+
+    k_shift, k_dil = jax.random.split(key)
+    theta_idx, beta = shift_orbit_gibbs(
+        k_shift, theta_idx, z, beta, consts, config
+    )
 
     parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config)
 
@@ -760,21 +897,8 @@ def affine_theta_moves(
 
     def one_round(carry, k):
         idx, parts = carry
-        k_s1, k_s2, k_su, k_d, k_du = jax.random.split(k, 5)
+        k_d, k_du = jax.random.split(k)
 
-        # --- shift ---
-        mag = jax.random.randint(k_s1, (), 1, K + 1, dtype=jnp.int32)
-        sign = (2 * jax.random.bernoulli(k_s2).astype(jnp.int32) - 1).astype(jnp.int32)
-        idx_s = idx + mag * sign
-        ok = (jnp.min(idx_s) >= 0) & (jnp.max(idx_s) <= N - 1)
-        idx_s = jnp.clip(idx_s, 0, N - 1)
-        parts_s = _z_marginal_parts(idx_s, z, beta, consts, config)
-        log_u = jnp.log(jax.random.uniform(k_su, (), dt))
-        acc = ok & (log_u < _z_marginal_delta(parts_s, parts))
-        idx = jnp.where(acc, idx_s, idx)
-        parts = accept(parts, parts_s, acc)
-
-        # --- dilation ---
         ell = jax.random.normal(k_d, (), dt) * sd
         a = jnp.exp(ell)
         d = idx.astype(dt) - cen
@@ -792,9 +916,9 @@ def affine_theta_moves(
         parts = accept(parts, parts_d, acc)
         return (idx, parts), acc
 
-    keys = jax.random.split(key, config.affine_rounds)
+    keys = jax.random.split(k_dil, config.affine_rounds)
     (idx, _), _ = jax.lax.scan(one_round, (theta_idx, parts0), keys)
-    return idx
+    return idx, beta
 
 
 # ---------------------------------------------------------------------------
@@ -1209,13 +1333,13 @@ def gibbs_sweep(
             )
             if config.affine_rounds > 0:
                 # partially collapsed step: z has consumed the old f*; move
-                # theta collectively against the z-marginal, then regenerate
-                # f* from its exact conditional below (see affine_theta_moves)
-                theta_idx = affine_theta_moves(
+                # (theta, beta) collectively against the z-marginal, then
+                # regenerate f* from its exact conditional below
+                theta_idx, beta_m = affine_theta_moves(
                     jax.random.fold_in(k_f, 3 * s + 1), theta_idx, z,
                     state.beta, consts, config,
                 )
-                state = state._replace(theta_idx=theta_idx)
+                state = state._replace(theta_idx=theta_idx, beta=beta_m)
                 theta = theta_from_indices(theta_idx, consts)
                 mu = compute_mu(theta, state.beta)
             fstar, f = draw_fstar_conjugate(

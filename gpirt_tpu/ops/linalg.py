@@ -19,6 +19,9 @@ __all__ = [
     "tri_solve",
     "double_solve",
     "host_cholesky_f64",
+    "chol3",
+    "tri3_solve",
+    "spd3_solve",
 ]
 
 
@@ -66,6 +69,58 @@ def tri_solve(L: jnp.ndarray, b: jnp.ndarray, *, trans: bool = False) -> jnp.nda
 def double_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """``(L L^T)^{-1} b`` via two triangular solves (reference double_solve)."""
     return tri_solve(L, tri_solve(L, b), trans=True)
+
+
+def chol3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form lower Cholesky of batched SPD 3x3 matrices (..., 3, 3).
+
+    ``jnp.linalg.cholesky`` on huge batches of tiny matrices lowers to a
+    blocked loop that is pure latency on TPU (measured: 10 ms for 27k 3x3
+    factorizations inside draw_beta — more than the 62-GFLOP f* draw).
+    The explicit scalar recurrence is a handful of fused elementwise VPU
+    ops over the batch instead.
+    """
+    a = jnp.sqrt(M[..., 0, 0])
+    b = M[..., 1, 0] / a
+    c = M[..., 2, 0] / a
+    d = jnp.sqrt(M[..., 1, 1] - b * b)
+    e = (M[..., 2, 1] - c * b) / d
+    f = jnp.sqrt(M[..., 2, 2] - c * c - e * e)
+    z = jnp.zeros_like(a)
+    return jnp.stack([
+        jnp.stack([a, z, z], -1),
+        jnp.stack([b, d, z], -1),
+        jnp.stack([c, e, f], -1),
+    ], -2)
+
+
+def tri3_solve(L: jnp.ndarray, b: jnp.ndarray, *, trans: bool = False) -> jnp.ndarray:
+    """Solve L x = b (or L^T x = b) for lower-tri 3x3 L, elementwise.
+
+    L: (..., 3, 3); b: (..., 3, k) (k broadcast over trailing axis).
+    """
+    l00 = L[..., 0, 0, None]
+    l10 = L[..., 1, 0, None]
+    l11 = L[..., 1, 1, None]
+    l20 = L[..., 2, 0, None]
+    l21 = L[..., 2, 1, None]
+    l22 = L[..., 2, 2, None]
+    b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+    if not trans:
+        x0 = b0 / l00
+        x1 = (b1 - l10 * x0) / l11
+        x2 = (b2 - l20 * x0 - l21 * x1) / l22
+    else:
+        x2 = b2 / l22
+        x1 = (b1 - l21 * x2) / l11
+        x0 = (b0 - l10 * x1 - l20 * x2) / l00
+    return jnp.stack([x0, x1, x2], axis=-2)
+
+
+def spd3_solve(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """M^{-1} b for batched SPD 3x3 (chol3 + two tri3 substitutions)."""
+    L = chol3(M)
+    return tri3_solve(L, tri3_solve(L, b), trans=True)
 
 
 def host_cholesky_f64(gram: np.ndarray, jitter: float, dtype=np.float32) -> np.ndarray:

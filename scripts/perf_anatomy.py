@@ -1,0 +1,240 @@
+"""Per-block perf anatomy: device timings + analytic flops model + MFU.
+
+VERDICT r1 item 7: decompose the sweep cost at the bench shapes so kernel
+work is data-driven. Times each conjugate-path Gibbs block ON DEVICE
+(vmapped over chains, scanned inside one jit — one dispatch per block) and
+compares against an analytic flop count per block, giving achieved FLOP/s
+and MFU vs the chip's f32 peak.
+
+Usage:
+  python scripts/perf_anatomy.py                  # senate116 x 64 chains
+  python scripts/perf_anatomy.py --shape sdo      # SDO (n=1500 rows kept)
+  python scripts/perf_anatomy.py --shape large    # synthetic 5000 x 1000
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+
+import numpy as np
+
+# v5e: 197 TFLOP/s bf16 MXU peak per chip; XLA runs f32 matmuls on the MXU
+# via bf16x3 passes, so the honest f32 ceiling is ~1/3 of that. Report both.
+PEAK_BF16 = 197e12
+PEAK_F32 = PEAK_BF16 / 3
+
+
+def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains):
+    """Analytic flop count per lockstep sweep (all chains), by block.
+
+    Counts multiply-adds as 2 flops; transcendentals (erf, ndtri, log, exp)
+    as 10 (the VPU cost scale, not MXU). Derived from the conjugate-path
+    code in gpirt_tpu/models/gibbs.py (see each block's docstring).
+    """
+    mm = lambda *dims: 2 * np.prod([float(d) for d in dims])  # matmul flops
+    tr = lambda cnt: 10.0 * float(cnt)  # transcendental-heavy elementwise
+
+    blocks = {}
+    # draw_theta (grid conditional): logprob table N*m*(C+1) erf, then the
+    # MXU contraction (N, m*C) x (m*C, n) per horizon, + N*n gumbel/argmax.
+    blocks["draw_theta"] = mix_subsweeps * H * (
+        tr(N * m * (C + 1)) + mm(N, m * C, n) + tr(N * n)
+    )
+    # draw_z_truncnorm: 2 erf + 1 ndtri per cell.
+    blocks["draw_z"] = mix_subsweeps * tr(3 * H * n * m)
+    # affine moves: 2 proposals/round + 1 initial eval of _z_marginal_parts.
+    # Each eval: woodbury_factors (chol n^3/3 + A-solve of 3 rhs) +
+    # quad parts (A-solve of m rhs = 5 n^2 m matmul-equivalents: 2+1+2
+    # triangular/residual passes) + small C3 pieces.
+    per_eval = H * (mm(n, n, n) / 6 + 5 * mm(n, n, 3) + 5 * mm(n, n, m))
+    blocks["affine_moves"] = (
+        (2 * affine_rounds + 1) * per_eval if affine_rounds else 0.0
+    )
+    # draw_fstar_conjugate: ustar = L_grid @ z (N^2 m), woodbury_solve
+    # (5 n^2 m + small), kstar contraction (n N m) + rank-3 pieces.
+    blocks["draw_fstar"] = mix_subsweeps * H * (
+        mm(N, N, m) + (mm(n, n, n) / 6 + 5 * mm(n, n, 3) + 5 * mm(n, n, m))
+        + mm(n, N, m) + tr(2 * n * m)
+    )
+    # draw_beta_conjugate: Gram + rhs + 3x3 solves per (H, m).
+    blocks["draw_beta"] = H * (mm(n, 3, 3) + mm(n, 3, m) + 50 * 27 * m)
+    # draw_threshold: ESS; ~6 bracket rounds typ., each a full ll pass
+    # (2 erf per boundary per cell) in delta space, C-1 dims per item.
+    blocks["draw_threshold"] = 6 * tr(2 * H * n * m * (C + 1))
+    blocks["ll_trace"] = tr(2 * H * n * m)
+    return {k: v * n_chains for k, v in blocks.items()}
+
+
+def build(shape, n_chains, dtype):
+    import jax.numpy as jnp
+    from gpirt_tpu.api import default_thresholds
+    from gpirt_tpu.models import GPIRTConfig, make_constants
+    from gpirt_tpu.utils.response import encode_categories
+
+    rng = np.random.default_rng(0)
+    if shape == "senate":
+        from gpirt_tpu.utils.datasets import senate116_response_matrix
+        rm, _, _ = senate116_response_matrix()
+        y, C, _ = encode_categories(np.asarray(rm))
+    elif shape == "sdo":
+        from gpirt_tpu.utils.datasets import load_sdo
+        sdo = load_sdo()
+        y, C, _ = encode_categories(np.asarray(sdo, dtype=float))
+    else:  # large: 5000 x 1000 binary
+        n_, m_ = 5000, 1000
+        theta = rng.standard_normal(n_)
+        disc = rng.standard_normal(m_)
+        p = 1 / (1 + np.exp(-np.outer(theta, disc)))
+        y = (1 + (rng.random((n_, m_)) < p)).astype(float)[None]
+        y[0, rng.random((n_, m_)) < 0.1] = np.nan
+        C = 2
+        y = np.nan_to_num(y, nan=0.0).astype(np.int32)
+    if y.dtype.kind == "f":
+        y = np.nan_to_num(y, nan=0.0).astype(np.int32)
+    H, n, m = y.shape
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype=dtype, jitter=1e-4)
+    consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                            np.zeros((2, n)), np.zeros((2, n)))
+    thr = default_thresholds(C, m, H)
+    ti = np.stack([rng.permutation(np.linspace(-2, 2, n))[None]
+                   for _ in range(n_chains)])
+    return jnp.asarray(y), thr, ti, consts, config
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="senate", choices=["senate", "sdo", "large"])
+    ap.add_argument("--chains", type=int, default=64)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from gpirt_tpu.models import gibbs as G
+    from gpirt_tpu.models.gibbs import gibbs_sweep, init_state
+    from gpirt_tpu.utils.profiling import device_time
+
+    y, thr, ti, consts, config = build(args.shape, args.chains, args.dtype)
+    K = args.chains
+    H, n, m = y.shape
+    N, C = config.grid_size, config.C
+    print(f"shape={args.shape}: n={n} m={m} H={H} C={C} grid={N} "
+          f"chains={K} dtype={args.dtype} f_method={config.resolved_f_method} "
+          f"affine_rounds={config.affine_rounds} on {jax.devices()[0].platform}")
+    assert config.resolved_f_method == "conjugate", "anatomy targets the default path"
+
+    keys = jax.vmap(jax.random.key)(jnp.arange(K))
+    state = jax.jit(jax.vmap(
+        lambda k, t: init_state(k, t, jnp.asarray(thr, config.jdtype), y,
+                                consts, config)
+    ))(keys, jnp.asarray(ti, config.jdtype))
+    jax.block_until_ready(state)
+
+    # warm the state into equilibrium-ish territory so ESS loop counts and
+    # branch behavior are representative
+    @jax.jit
+    def warm(s):
+        def body(c, i):
+            c, _ = jax.vmap(
+                lambda cs, k: gibbs_sweep(cs, k, y, consts, config)
+            )(c, jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys))
+            return c, ()
+        s, _ = jax.lax.scan(body, s, jnp.arange(20))
+        return s
+    t0 = time.time()
+    state = jax.block_until_ready(warm(state))
+    print(f"[{time.time()-t0:.1f}s] warmup done")
+
+    # derived quantities each block consumes
+    key = jax.random.key(7)
+    theta = jax.vmap(lambda i: G.theta_from_indices(i, consts))(state.theta_idx)
+    mu = jax.vmap(G.compute_mu)(theta, state.beta)
+    mu_star = jax.vmap(lambda b: G.compute_mu_star(consts, b))(state.beta)
+    z = jax.jit(jax.vmap(
+        lambda g, t: G.draw_z_truncnorm(key, g, y, t)
+    ))(state.f + mu, state.thresholds)
+    jax.block_until_ready((theta, mu, mu_star, z))
+
+    times = {}
+    times["full_sweep"] = device_time(
+        lambda s, i: jax.vmap(
+            lambda cs, k: gibbs_sweep(cs, k, y, consts, config)[0]
+        )(s, jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)),
+        state, args.reps)
+    times["draw_theta"] = device_time(
+        lambda ti_, i: jax.vmap(
+            lambda s, ms: G.draw_theta(jax.random.fold_in(key, i), s, ms, y,
+                                       consts, config)
+        )(state._replace(theta_idx=ti_), mu_star),
+        state.theta_idx, args.reps)
+    times["draw_z"] = device_time(
+        lambda z_, i: jax.vmap(
+            lambda g, t: G.draw_z_truncnorm(jax.random.fold_in(key, i), g, y, t)
+        )(state.f + mu + z_ * 0, state.thresholds),
+        z, args.reps)
+    if config.affine_rounds > 0:
+        times["affine_moves"] = device_time(
+            lambda ti_, i: jax.vmap(
+                lambda t_, z_, b: G.affine_theta_moves(
+                    jax.random.fold_in(key, i), t_, z_, b, consts, config)[0]
+            )(ti_, z, state.beta),
+            state.theta_idx, args.reps)
+    times["draw_fstar"] = device_time(
+        lambda f_, i: jax.vmap(
+            lambda s, zr: G.draw_fstar_conjugate(
+                jax.random.fold_in(key, i), s, zr, config, consts)[1]
+        )(state._replace(f=f_), z - mu),
+        state.f, args.reps)
+    times["draw_beta"] = device_time(
+        lambda b_, i: jax.vmap(
+            lambda th, zmf: G.draw_beta_conjugate(
+                jax.random.fold_in(key, i), th, zmf, consts, config)
+        )(theta, z - state.f + b_[:, :1, :1, ...] * 0),
+        state.beta, args.reps)
+    times["draw_threshold"] = device_time(
+        lambda t_, i: jax.vmap(
+            lambda tt, f_, m_: G.draw_threshold(
+                jax.random.fold_in(key, i), tt, f_, m_, y, config)
+        )(t_, state.f, mu),
+        state.thresholds, args.reps)
+
+    fl = flops_model(n, m, H, N, C, config.affine_rounds, config.mix_subsweeps, K)
+    fl_sweep = sum(fl.values())
+
+    sum_blocks = sum(v for k, v in times.items() if k != "full_sweep")
+    print(f"\n{'block':<16}{'ms':>9}{'% sweep':>9}{'GFLOP':>9}{'TFLOP/s':>9}"
+          f"{'MFU f32':>9}")
+    order = ["draw_theta", "draw_z", "affine_moves", "draw_fstar",
+             "draw_beta", "draw_threshold"]
+    for k in order:
+        if k not in times:
+            continue
+        t = times[k]
+        f = fl.get(k, 0.0)
+        print(f"{k:<16}{t*1e3:>9.2f}{100*t/times['full_sweep']:>8.1f}%"
+              f"{f/1e9:>9.2f}{f/t/1e12:>9.2f}{100*f/t/PEAK_F32:>8.1f}%")
+    t = times["full_sweep"]
+    print(f"{'-- full sweep':<16}{t*1e3:>9.2f}{'100.0%':>9}"
+          f"{fl_sweep/1e9:>9.2f}{fl_sweep/t/1e12:>9.2f}"
+          f"{100*fl_sweep/t/PEAK_F32:>8.1f}%")
+    print(f"(sum of blocks {sum_blocks*1e3:.2f} ms vs fused sweep "
+          f"{t*1e3:.2f} ms -> fusion/overlap gain "
+          f"{100*(sum_blocks-t)/max(sum_blocks,1e-12):.0f}%)")
+    print(f"sweeps/sec (all {K} chains lockstep): {1/t:.1f}; "
+          f"chain-sweeps/sec: {K/t:.0f}")
+    print(f"note: MFU vs f32 ceiling {PEAK_F32/1e12:.0f} TF (bf16 peak "
+          f"{PEAK_BF16/1e12:.0f} TF / 3 for bf16x3 f32 matmuls); "
+          f"transcendental-heavy blocks run on the VPU where MXU MFU "
+          f"understates utilization")
+
+
+if __name__ == "__main__":
+    main()

@@ -103,8 +103,11 @@ class TestAffineMoves:
         z = jax.random.normal(key, (1, 7, 4), jnp.float64)
         beta = jnp.zeros((1, 3, 4), jnp.float64)
         idx = jnp.asarray([[0, 10, 40, 50, 60, 90, 100]], jnp.int32)
-        out = affine_theta_moves(jax.random.key(4), idx, z, beta, consts, config)
+        out, beta_out = affine_theta_moves(
+            jax.random.key(4), idx, z, beta, consts, config
+        )
         assert out.shape == idx.shape
+        assert beta_out.shape == beta.shape
         assert int(out.min()) >= 0 and int(out.max()) <= 100
 
     def test_moves_traverse_scale(self):
@@ -127,7 +130,7 @@ class TestAffineMoves:
         cfg = GPIRTConfig(n=20, m=30, horizon=1, C=2, grid_size=201,
                           dtype="float64", f_method="conjugate",
                           affine_rounds=50, affine_dilate_sd=0.1)
-        out = affine_theta_moves(jax.random.key(6), start, z, beta, consts, cfg)
+        out, _ = affine_theta_moves(jax.random.key(6), start, z, beta, consts, cfg)
         spread0 = float(jnp.std(consts.grid[start]))
         spread1 = float(jnp.std(consts.grid[out]))
         assert spread1 > 1.5 * spread0, (spread0, spread1)
