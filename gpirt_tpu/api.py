@@ -128,6 +128,9 @@ def gpirt_mcmc(
     mesh: Optional[jax.sharding.Mesh] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 200,
+    n_temps: int = 1,
+    max_temp: float = 4.0,
+    swap_every: int = 1,
     verbose: bool = True,
 ) -> List[Dict[str, np.ndarray]]:
     """Posterior samples for the GP-IRT model. Returns one dict per chain.
@@ -146,6 +149,13 @@ def gpirt_mcmc(
     TPU-specific keywords: ``dtype`` (float32 on TPU; float64 for CPU parity
     runs), ``fstar_method`` ("matheron" fast path / "chol" reference-style),
     ``mesh`` to spread chains over devices.
+
+    ``n_temps > 1`` runs each chain as a parallel-tempering group:
+    ``n_temps - 1`` hot lanes on a geometric ladder up to ``max_temp``
+    (observation noise sd sqrt(T)) with on-device adjacent swaps every
+    ``swap_every`` sweeps; the returned draws are the cold (T = 1) lanes,
+    and each chain dict carries the ensemble's per-rung "swap_rate". See
+    gpirt_tpu/parallel/tempering.py — no analog exists in the reference.
 
     Returned dicts use reference-like layouts:
       theta (S, n, H); beta (S, 3, m, H); f (S, n, m, H) if stored;
@@ -262,6 +272,35 @@ def gpirt_mcmc(
             _to_reference_layout({k: v[c] for k, v in draws.items()})
             for c in range(CHAIN)
         ]
+
+    if n_temps > 1:
+        from gpirt_tpu.parallel.chains import chain_keys
+        from gpirt_tpu.parallel.tempering import run_tempered_chains
+
+        on_progress = None
+        if verbose:
+            def on_progress(done, total):
+                print(f"[gpirt] {done}/{total} iterations "
+                      f"({100.0 * done / total:.0f}%)", file=sys.stderr)
+
+        draws = run_tempered_chains(
+            chain_keys(SEED, CHAIN), jnp.asarray(y), th_inits,
+            thresholds_init, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN, n_temps=n_temps, max_temp=max_temp,
+            swap_every=swap_every, store_f=store_f, store_fstar=store_fstar,
+            on_progress=on_progress,
+        )
+        host = jax.tree_util.tree_map(np.asarray, draws)
+        swap_rate = host.pop("swap_rate")
+        out = [
+            _to_reference_layout({k: v[c] for k, v in host.items()})
+            for c in range(CHAIN)
+        ]
+        for d in out:
+            d["swap_rate"] = swap_rate
+        return out
 
     from gpirt_tpu.parallel.chains import run_chains, chain_keys
 

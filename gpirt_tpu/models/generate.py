@@ -128,11 +128,14 @@ def sample_responses(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     mask: jnp.ndarray = None,
+    temp=None,
 ) -> jnp.ndarray:
     """Draw y | state from the ordinal-probit model: (H, n, m) int32, 1..C.
 
     Inverse-transform over the cutpoints: y = 1 + #{c : u > Phi(t_c - g)}.
     ``mask`` (bool, (H, n, m)) marks observed cells; unobserved get 0.
+    ``temp`` samples from the TEMPERED observation model (noise sd sqrt(T),
+    see parallel/tempering.py) — used by the tempered Geweke oracle.
     """
     H, n, m = state.f.shape
     C = config.C
@@ -143,7 +146,10 @@ def sample_responses(
     # interior cutpoints: (H, m, C-1) -> compare against Phi(t_c - g)
     t_int = state.thresholds[..., 1:C]  # (H, m, C-1)
     z = t_int[:, None, :, :] - g[..., None]  # (H, n, m, C-1)
-    cdf = 0.5 * (1.0 + jax.lax.erf(z * jnp.asarray(0.7071067811865476, dt)))
+    c = jnp.asarray(0.7071067811865476, dt)
+    if temp is not None:
+        c = c / jnp.sqrt(jnp.asarray(temp, dt))
+    cdf = 0.5 * (1.0 + jax.lax.erf(z * c))
     y = 1 + jnp.sum(u[..., None] > cdf, axis=-1).astype(jnp.int32)
     if mask is not None:
         y = jnp.where(mask, y, 0)

@@ -368,17 +368,33 @@ def draw_fstar_direct(
     return fstar, f
 
 
+def _temp_scales(temp, dt):
+    """(sqrt_T, inv_sqrt_T) for tempering; (None, None) when untempered.
+
+    ``temp = None`` keeps every call site's HLO byte-identical to the
+    untempered build; a traced scalar tempers the observation noise to
+    sd sqrt(T) (see parallel/tempering.py).
+    """
+    if temp is None:
+        return None, None
+    t = jnp.asarray(temp, dt)
+    s = jnp.sqrt(t)
+    return s, 1.0 / s
+
+
 def draw_z_truncnorm(
     key: jax.Array,
     g: jnp.ndarray,
     y: jnp.ndarray,
     thresholds: jnp.ndarray,
+    temp=None,
 ) -> jnp.ndarray:
-    """Albert-Chib (1993) latent responses: z_ij ~ N(g_ij, 1) truncated to
+    """Albert-Chib (1993) latent responses: z_ij ~ N(g_ij, T) truncated to
     the observed category's cutpoint interval; unconstrained for missing
     cells (a valid conditional draw — missing responses carry no truncation
     information, and imputing them keeps the downstream GP regression a
-    complete-data problem with one shared noise model).
+    complete-data problem with one shared noise model). T = 1 unless
+    tempered (``temp``).
 
     Inverse-CDF sampling: z = g + ndtri(Phi(lo-g) + u (Phi(hi-g) - Phi(lo-g))).
     """
@@ -386,7 +402,10 @@ def draw_z_truncnorm(
 
     z_lo, z_hi, mask = cutpoint_bounds(y, thresholds)  # (H, n, m)
     dt = g.dtype
+    sqrt_t, inv_s = _temp_scales(temp, dt)
     c = jnp.asarray(0.7071067811865476, dt)
+    if inv_s is not None:
+        c = c * inv_s
     cdf_lo = 0.5 * (1.0 + jax.lax.erf((z_lo - g) * c))
     cdf_hi = 0.5 * (1.0 + jax.lax.erf((z_hi - g) * c))
     u = jax.random.uniform(key, g.shape, dt)
@@ -395,7 +414,8 @@ def draw_z_truncnorm(
     cdf_hi = jnp.where(mask, cdf_hi, 1.0)
     eps = jnp.asarray(1e-6, dt)
     p = jnp.clip(cdf_lo + u * (cdf_hi - cdf_lo), eps, 1.0 - eps)
-    z = g + ndtri(p).astype(dt)
+    q = ndtri(p).astype(dt)
+    z = g + (q if sqrt_t is None else sqrt_t * q)
     # far-tail degenerate intervals: fall back to the nearest bound
     tail = (cdf_hi - cdf_lo) < eps
     fallback = jnp.clip(g, jnp.where(jnp.isfinite(z_lo), z_lo, g),
@@ -409,6 +429,7 @@ def draw_fstar_conjugate(
     z_resid: jnp.ndarray,
     config: GPIRTConfig,
     consts: GPIRTConstants,
+    temp=None,
 ):
     """Exact Gaussian draw of f* | z (f_method="conjugate").
 
@@ -431,13 +452,16 @@ def draw_fstar_conjugate(
     dt = z_resid.dtype
     idx = state.theta_idx
     k_u, k_e = jax.random.split(key)
+    sqrt_t, _ = _temp_scales(temp, dt)
 
     zq = jax.random.normal(k_u, (H, N, m), dt)
     ustar = jnp.einsum("ab,hbm->ham", consts.L_grid, zq)  # prior grid draws
     u_theta = jnp.take_along_axis(ustar, idx[:, :, None], axis=1)  # (H, n, m)
     eps = jax.random.normal(k_e, (H, n, m), dt)
+    if sqrt_t is not None:
+        eps = eps * sqrt_t  # tempered observation noise sd sqrt(T)
 
-    wb = woodbury_factors(idx, consts)
+    wb = woodbury_factors(idx, consts, temp=temp)
     alpha = woodbury_solve(wb, z_resid - u_theta - eps)  # B^{-1} rhs
     # K_{*theta} alpha through the SAME rank-3 split: the raw contraction
     # multiplies ~theta^4-sized kernel entries against alpha and cancels down
@@ -462,6 +486,7 @@ def draw_beta_conjugate(
     z_minus_f: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    temp=None,
 ) -> jnp.ndarray:
     """Exact Gaussian draw of beta | z, f (conjugate linear regression).
 
@@ -497,6 +522,10 @@ def draw_beta_conjugate(
     hi = jax.lax.Precision.HIGHEST
     XtX = jnp.einsum("hnp,hnq->hpq", Xt, Xt, precision=hi)  # (H, 3, 3)
     Xtz = jnp.einsum("hnp,hnm->hpm", Xt, z_minus_f, precision=hi)  # (H, 3, m)
+    if temp is not None:
+        inv_t = 1.0 / jnp.asarray(temp, dt)  # noise variance T
+        XtX = XtX * inv_t
+        Xtz = Xtz * inv_t
     d_inv = 1.0 / (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)  # (3, m)
     # prior precision in the standardized basis: M^T diag(d_inv_j) M
     pp = jnp.einsum("hpq,pm,hpr->hmqr", Minv, d_inv, Minv, precision=hi)  # (H, m, 3, 3)
@@ -573,11 +602,15 @@ def _c3_solve(Lc3, C3, u):
     return v + tri3_solve(Lc3, tri3_solve(Lc3, res), trans=True)
 
 
-def woodbury_factors(theta_idx: jnp.ndarray, consts: GPIRTConstants) -> WoodburyB:
+def woodbury_factors(
+    theta_idx: jnp.ndarray, consts: GPIRTConstants, temp=None
+) -> WoodburyB:
+    """Factors of B = K(theta) + T I (T = 1 unless tempered)."""
     H, n = theta_idx.shape
     dt = consts.grid.dtype
     A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
-    A = A + jnp.eye(n, dtype=dt)
+    eye = jnp.eye(n, dtype=dt)
+    A = A + (eye if temp is None else jnp.asarray(temp, dt) * eye)
     La = jnp.linalg.cholesky(A)
     Psi = consts.Psi_grid[theta_idx]  # (H, n, 3)
     AinvPsi = _a_solve(La, A, Psi)  # (H, n, 3)
@@ -646,6 +679,7 @@ def _z_marginal_parts(
     beta: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    temp=None,
 ):
     """Pieces of log p(theta) + log p(z | theta, beta), GP f* marginalized.
 
@@ -666,7 +700,7 @@ def _z_marginal_parts(
     H, n, m = z.shape
     theta = theta_from_indices(theta_idx, consts)
     mu = compute_mu(theta, beta)
-    wb = woodbury_factors(theta_idx, consts)
+    wb = woodbury_factors(theta_idx, consts, temp=temp)
     p, q = woodbury_quad_parts(wb, z - mu)
     small = (-0.5 * m * jnp.sum(wb.logdet)
              + _theta_logprior_total(theta, consts, config))
@@ -746,6 +780,7 @@ def shift_orbit_gibbs(
     beta: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    temp=None,
 ):
     """Windowed Gibbs draw of the collective location mode. Returns
     (theta_idx, beta).
@@ -781,9 +816,10 @@ def shift_orbit_gibbs(
     mu = compute_mu(theta, beta)
     r = z - mu
 
-    # orbit-invariant heavy pieces
+    # orbit-invariant heavy pieces (A = K_SE + T I; T = 1 untempered)
     A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
-    A = A + jnp.eye(n, dtype=dt)
+    eye_n = jnp.eye(n, dtype=dt)
+    A = A + (eye_n if temp is None else jnp.asarray(temp, dt) * eye_n)
     La = jnp.linalg.cholesky(A)
 
     idx_j = theta_idx[None] + offs[:, None, None]  # (J, H, n)
@@ -847,6 +883,7 @@ def affine_theta_moves(
     beta: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    temp=None,
 ):
     """Collective shift/dilation MH moves on (theta, beta). Returns
     (theta_idx, beta).
@@ -885,10 +922,10 @@ def affine_theta_moves(
 
     k_shift, k_dil = jax.random.split(key)
     theta_idx, beta = shift_orbit_gibbs(
-        k_shift, theta_idx, z, beta, consts, config
+        k_shift, theta_idx, z, beta, consts, config, temp=temp
     )
 
-    parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config)
+    parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config, temp=temp)
 
     def accept(carry_parts, cand_parts, acc):
         return jax.tree_util.tree_map(
@@ -908,7 +945,7 @@ def affine_theta_moves(
         dp = idx_d.astype(dt) - cen
         logq_fwd = _dilation_interval_logq(d, dp, sd)
         logq_rev = _dilation_interval_logq(dp, d, sd)
-        parts_d = _z_marginal_parts(idx_d, z, beta, consts, config)
+        parts_d = _z_marginal_parts(idx_d, z, beta, consts, config, temp=temp)
         log_u = jnp.log(jax.random.uniform(k_du, (), dt))
         ratio = _z_marginal_delta(parts_d, parts) + logq_rev - logq_fwd
         acc = ok & jnp.isfinite(ratio) & (log_u < ratio)
@@ -927,16 +964,20 @@ def affine_theta_moves(
 
 
 def _category_logprobs(
-    g: jnp.ndarray, thresholds: jnp.ndarray, C: int
+    g: jnp.ndarray, thresholds: jnp.ndarray, C: int, inv_s=None
 ) -> jnp.ndarray:
     """log P(y = c | g) for every category: (..., m) g -> (..., m, C).
 
     One Phi evaluation per cutpoint boundary (categories share boundaries,
     so this halves the transcendental count vs per-observation bounds).
+    ``inv_s = 1/sqrt(T)`` tempers (see ll_terms_from_bounds).
     """
     # thresholds (..., m, C+1) broadcast against g (..., m)
     z = thresholds - g[..., None]  # (..., m, C+1)
-    cdf = 0.5 * (1.0 + jax.lax.erf(z * jnp.asarray(0.7071067811865476, g.dtype)))
+    c = jnp.asarray(0.7071067811865476, g.dtype)
+    if inv_s is not None:
+        c = c * inv_s
+    cdf = 0.5 * (1.0 + jax.lax.erf(z * c))
     p = cdf[..., 1:] - cdf[..., :-1]  # (..., m, C)
     return jnp.log(p + jnp.asarray(1e-6, g.dtype))
 
@@ -947,6 +988,7 @@ def _theta_ll_table(
     y: jnp.ndarray,
     thresholds: jnp.ndarray,
     C: int,
+    inv_s=None,
 ) -> jnp.ndarray:
     """Per-respondent log-likelihood at EVERY grid point: (H, N, n).
 
@@ -963,7 +1005,7 @@ def _theta_ll_table(
     the exact grid-Gibbs conditional draw (theta_method="grid").
     """
     gstar = fstar + mu_star  # (H, N, m)
-    logp = _category_logprobs(gstar, thresholds[:, None], C)  # (H, N, m, C)
+    logp = _category_logprobs(gstar, thresholds[:, None], C, inv_s)  # (H, N, m, C)
     onehot = jax.nn.one_hot(y - 1, C, dtype=gstar.dtype)  # (H, n, m, C); y=0 -> zeros
     # HIGHEST: with TPU bf16-default matmuls this (m*C)-deep reduction of
     # O(10)-sized log-probs carries +-1-4 absolute noise, visibly distorting
@@ -991,6 +1033,7 @@ def draw_theta(
     y: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    temp=None,
 ) -> jnp.ndarray:
     """Redraw theta on the grid. Returns new theta_idx (H, n).
 
@@ -1008,15 +1051,19 @@ def draw_theta(
         (src/draw-theta.cpp:26-84, 165-168), kept for parity validation.
     """
     if config.theta_method == "grid":
-        return _draw_theta_grid(key, state, mu_star, y, consts, config)
+        return _draw_theta_grid(key, state, mu_star, y, consts, config, temp)
+    if temp is not None:
+        raise NotImplementedError("tempering needs theta_method='grid'")
     return _draw_theta_ess(key, state, mu_star, y, consts, config)
 
 
-def _draw_theta_grid(key, state, mu_star, y, consts, config) -> jnp.ndarray:
+def _draw_theta_grid(key, state, mu_star, y, consts, config, temp=None) -> jnp.ndarray:
     H, n = state.theta_idx.shape
     dt = state.f.dtype
     N = config.grid_size
-    table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds, config.C)  # (H,N,n)
+    _, inv_s = _temp_scales(temp, dt)
+    table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds,
+                            config.C, inv_s)  # (H,N,n)
     grid = consts.grid  # (N,)
     regime = config.theta_regime
 
@@ -1164,6 +1211,7 @@ def draw_threshold(
     mu: jnp.ndarray,
     y: jnp.ndarray,
     config: GPIRTConfig,
+    temp=None,
 ) -> jnp.ndarray:
     """ESS redraw of cutpoints in the unconstrained delta parametrization,
     identity-covariance prior (src/draw_threshold.cpp). constant_IRF shares
@@ -1171,6 +1219,7 @@ def draw_threshold(
     H, m, Cp1 = thresholds.shape
     C = Cp1 - 1
     dt = thresholds.dtype
+    _, inv_s = _temp_scales(temp, dt)
     g = f + mu
     k_nu, k_ess = jax.random.split(key)
     # gather-free likelihood: all C category log-probs (categories share
@@ -1184,7 +1233,7 @@ def draw_threshold(
 
         def loglik(d):  # (m, C-1) -> (m,)
             thr = delta_to_threshold(d)  # (m, C+1)
-            logp = _category_logprobs(g, thr[None, None], C)  # (H, n, m, C)
+            logp = _category_logprobs(g, thr[None, None], C, inv_s)  # (H, n, m, C)
             return jnp.einsum("hijc,hijc->j", logp, onehot,
                               precision=jax.lax.Precision.HIGHEST)
 
@@ -1197,7 +1246,7 @@ def draw_threshold(
 
     def loglik(d):  # (H, m, C-1) -> (H, m)
         thr = delta_to_threshold(d)  # (H, m, C+1)
-        logp = _category_logprobs(g, thr[:, None], C)  # (H, n, m, C)
+        logp = _category_logprobs(g, thr[:, None], C, inv_s)  # (H, n, m, C)
         return jnp.einsum("hijc,hijc->hj", logp, onehot,
                           precision=jax.lax.Precision.HIGHEST)
 
@@ -1295,6 +1344,7 @@ def gibbs_sweep(
     y: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    temp=None,
 ) -> Tuple[GPIRTState, jnp.ndarray]:
     """One full Gibbs iteration. Returns (new_state, total log-likelihood).
 
@@ -1303,7 +1353,16 @@ def gibbs_sweep(
       ->  beta | f, theta  ->  t | f, mu  ->  ll.
     The theta Cholesky is computed once per sweep (the reference computes it
     twice, src/draw-f.cpp:59 + src/gpirtMCMC.cpp:314).
+
+    ``temp`` (None = 1) tempers the observation noise to sd sqrt(T) — the
+    likelihood family behind parallel tempering (parallel/tempering.py);
+    supported on the conjugate path only. The returned ll is the lane's OWN
+    tempered log-likelihood (its convergence trace).
     """
+    if temp is not None and config.resolved_f_method != "conjugate":
+        raise NotImplementedError(
+            "tempering is implemented for f_method='conjugate' only"
+        )
     k_f, k_fs, k_th, k_b, k_t = jax.random.split(key, 5)
 
     mu_star = compute_mu_star(consts, state.beta)
@@ -1320,16 +1379,19 @@ def gibbs_sweep(
         # marginalizes z (grid conditional); z is then drawn fresh and
         # consumed by the exact f* and beta draws within the same sweep.
         z = None
+        _, inv_s = _temp_scales(temp, state.f.dtype)
         for s in range(config.mix_subsweeps):
             theta_idx = draw_theta(
-                jax.random.fold_in(k_th, s), state, mu_star, y, consts, config
+                jax.random.fold_in(k_th, s), state, mu_star, y, consts,
+                config, temp,
             )
             f = jnp.take_along_axis(state.fstar, theta_idx[:, :, None], axis=1)
             state = state._replace(theta_idx=theta_idx, f=f)
             theta = theta_from_indices(theta_idx, consts)
             mu = compute_mu(theta, state.beta)
             z = draw_z_truncnorm(
-                jax.random.fold_in(k_f, 3 * s), f + mu, y, state.thresholds
+                jax.random.fold_in(k_f, 3 * s), f + mu, y, state.thresholds,
+                temp,
             )
             if config.affine_rounds > 0:
                 # partially collapsed step: z has consumed the old f*; move
@@ -1337,23 +1399,25 @@ def gibbs_sweep(
                 # regenerate f* from its exact conditional below
                 theta_idx, beta_m = affine_theta_moves(
                     jax.random.fold_in(k_f, 3 * s + 1), theta_idx, z,
-                    state.beta, consts, config,
+                    state.beta, consts, config, temp,
                 )
                 state = state._replace(theta_idx=theta_idx, beta=beta_m)
                 theta = theta_from_indices(theta_idx, consts)
                 mu = compute_mu(theta, state.beta)
             fstar, f = draw_fstar_conjugate(
-                jax.random.fold_in(k_f, 3 * s + 2), state, z - mu, config, consts
+                jax.random.fold_in(k_f, 3 * s + 2), state, z - mu, config,
+                consts, temp,
             )
             state = state._replace(fstar=fstar, f=f)
-        beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config)
+        beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config, temp)
         state = state._replace(beta=beta)
 
         # cutpoints (z-marginal ESS, like the reference) and ll trace
         mu = compute_mu(theta, beta)
-        thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y, config)
+        thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y,
+                                    config, temp)
         state = state._replace(thresholds=thresholds)
-        ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds))
+        ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds, inv_s))
         return state, ll
 
     if config.resolved_f_method == "grid":

@@ -63,15 +63,27 @@ def cutpoint_bounds(y: jnp.ndarray, thresholds: jnp.ndarray):
 
 
 def ll_terms_from_bounds(
-    g: jnp.ndarray, z_lo: jnp.ndarray, z_hi: jnp.ndarray, mask: jnp.ndarray
+    g: jnp.ndarray, z_lo: jnp.ndarray, z_hi: jnp.ndarray, mask: jnp.ndarray,
+    inv_s=None,
 ) -> jnp.ndarray:
-    """``log(Phi(z_hi - g) - Phi(z_lo - g) + 1e-6)``, 0 where masked."""
-    p = _norm_cdf(z_hi - g) - _norm_cdf(z_lo - g)
+    """``log(Phi((z_hi - g) s) - Phi((z_lo - g) s) + 1e-6)``, 0 where masked.
+
+    ``inv_s = 1/sqrt(T)`` is the tempering scale (see parallel/tempering.py):
+    observation noise sd sqrt(T) flattens the ordinal likelihood toward
+    uniform as T grows. None (default) is the untempered T = 1 model with
+    byte-identical HLO to the pre-tempering code path.
+    """
+    if inv_s is None:
+        p = _norm_cdf(z_hi - g) - _norm_cdf(z_lo - g)
+    else:
+        p = _norm_cdf((z_hi - g) * inv_s) - _norm_cdf((z_lo - g) * inv_s)
     terms = jnp.log(p + jnp.asarray(LL_FLOOR, g.dtype))
     return jnp.where(mask, terms, jnp.zeros((), g.dtype))
 
 
-def ordinal_ll_terms(g: jnp.ndarray, y: jnp.ndarray, thresholds: jnp.ndarray) -> jnp.ndarray:
+def ordinal_ll_terms(
+    g: jnp.ndarray, y: jnp.ndarray, thresholds: jnp.ndarray, inv_s=None
+) -> jnp.ndarray:
     """Per-response log-likelihood terms, 0 where missing.
 
     Args:
@@ -79,13 +91,14 @@ def ordinal_ll_terms(g: jnp.ndarray, y: jnp.ndarray, thresholds: jnp.ndarray) ->
       y: ``(..., n, m)`` int32 categories in 1..C, 0 = missing.
       thresholds: ``(..., m, C+1)`` cutpoints with -inf / +inf endpoints,
         broadcastable against ``g``'s batch axes.
+      inv_s: optional tempering scale 1/sqrt(T) (see ll_terms_from_bounds).
 
     Returns:
       ``(..., n, m)`` array of ``log(Phi(t_y - g) - Phi(t_{y-1} - g) + 1e-6)``
       with exact zeros at missing entries.
     """
     z_lo, z_hi, mask = cutpoint_bounds(y, thresholds)
-    return ll_terms_from_bounds(g, z_lo, z_hi, mask)
+    return ll_terms_from_bounds(g, z_lo, z_hi, mask, inv_s=inv_s)
 
 
 def ordinal_ll(

@@ -170,6 +170,60 @@ class TestGewekeRegimes:
         self._run(config, n, m, H, C)
 
 
+class TestGewekeTempered:
+    def test_joint_distribution_tempered(self):
+        """Geweke oracle for the TEMPERED model (observation noise sd
+        sqrt(T), parallel/tempering.py) at T = 2.5: every tempered
+        conditional — z, f*, beta, theta table, cutpoints, affine moves —
+        must target the tempered joint exactly."""
+        n, m, H, C, N = 6, 3, 1, 3, 61
+        temp = 2.5
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate")
+        consts = make_constants(
+            config,
+            beta_prior_means=np.zeros((3, m)),
+            beta_prior_sds=np.full((3, m), 1.5),
+            theta_prior_means=np.zeros((2, n)),
+            theta_prior_sds=np.zeros((2, n)),
+        )
+
+        @jax.jit
+        def forward(key):
+            st = sample_prior_state(key, consts, config)
+            return _stats(st, consts)
+
+        fwd = np.asarray(
+            jax.vmap(forward)(jax.random.split(jax.random.key(0), 4000))
+        )
+
+        @jax.jit
+        def sc_step(carry, key):
+            st, y = carry
+            k1, k2 = jax.random.split(key)
+            st, _ = gibbs_sweep(st, k1, y, consts, config, temp)
+            y = sample_responses(k2, st, consts, config, temp=temp)
+            return (st, y), _stats(st, consts)
+
+        k0, k1, kr = jax.random.split(jax.random.key(1), 3)
+        st0 = sample_prior_state(k0, consts, config)
+        y0 = sample_responses(k1, st0, consts, config, temp=temp)
+        _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
+        sc = np.asarray(sc)[500::3]
+
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        fails = []
+        for j, name in enumerate(names):
+            mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
+            x = sc[:, j]
+            nb = len(x) // 40
+            bm = x[: nb * 40].reshape(nb, 40).mean(axis=1)
+            z = (mf - x.mean()) / np.sqrt(vf + bm.var(ddof=1) / nb + 1e-12)
+            if abs(z) > 4.5:
+                fails.append((name, float(z)))
+        assert not fails, fails
+
+
 class TestGewekeConjugate:
     def test_joint_distribution_conjugate(self):
         """The Albert-Chib conjugate sampler (f_method='conjugate') targets

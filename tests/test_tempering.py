@@ -1,0 +1,125 @@
+"""Parallel-tempering correctness (gpirt_tpu.parallel.tempering).
+
+The per-lane tempered kernels are covered by the tempered Geweke oracle
+(test_geweke.py::TestGewekeTempered). These tests cover the pieces Geweke
+cannot see: the swap move (cold-lane marginal must remain the T = 1
+posterior) and the driver mechanics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpirt_tpu.models.config import GPIRTConfig, make_constants
+from gpirt_tpu.models.gibbs import gibbs_sweep, init_state, theta_from_indices
+from gpirt_tpu.parallel.chains import chain_keys
+from gpirt_tpu.parallel.tempering import run_tempered_chains, temperature_ladder
+
+
+def _setup(n=8, m=5, C=3, N=61, seed=0):
+    config = GPIRTConfig(n=n, m=m, horizon=1, C=C, grid_size=N,
+                         dtype="float64", f_method="conjugate",
+                         affine_shift_max=5)
+    consts = make_constants(
+        config,
+        beta_prior_means=np.zeros((3, m)),
+        beta_prior_sds=np.full((3, m), 1.5),
+        theta_prior_means=np.zeros((2, n)),
+        theta_prior_sds=np.zeros((2, n)),
+    )
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(-1.5, 1.5, n)
+    disc = rng.standard_normal(m)
+    p = 1 / (1 + np.exp(-np.outer(theta, disc)))
+    u = rng.random((n, m))
+    y = np.ones((1, n, m), np.int32)
+    y[0][u < p] = 2
+    y[0][u < p * 0.3] = 3
+    thr = np.tile(np.array([-np.inf, -0.4, 0.6, np.inf]), (1, m, 1))
+    return config, consts, jnp.asarray(y), thr
+
+
+def test_ladder():
+    t = temperature_ladder(4, 27.0)
+    np.testing.assert_allclose(t, [1, 3, 9, 27], rtol=1e-12)
+    assert temperature_ladder(1, 5.0).tolist() == [1.0]
+
+
+def test_cold_marginal_matches_vanilla():
+    """Reflection-invariant posterior moments from the tempered ensemble's
+    cold lanes must agree with a long vanilla run within MC error."""
+    config, consts, y, thr = _setup()
+    n = config.n
+
+    # vanilla: one long chain
+    st = init_state(jax.random.key(10), jnp.zeros((1, n)),
+                    jnp.asarray(thr, jnp.float64), y, consts, config)
+
+    @jax.jit
+    def step(st, key):
+        st, ll = gibbs_sweep(st, key, y, consts, config)
+        th = theta_from_indices(st.theta_idx, consts)
+        return st, jnp.stack([jnp.mean(th * th), jnp.std(th),
+                              jnp.mean(jnp.abs(th)), ll])
+
+    _, van = jax.lax.scan(step, st, jax.random.split(jax.random.key(11), 9000))
+    van = np.asarray(van)[1500:]
+
+    # tempered: 2 groups x 3 temps
+    d = run_tempered_chains(
+        chain_keys(20, 2), y, np.zeros((1, n)), thr, consts, config,
+        sample_iterations=4000, burn_iterations=1500, n_temps=3, max_temp=4.0,
+        chunk_iterations=2000,
+    )
+    th = np.asarray(d["theta"])  # (2, S, 1, n)
+    pt = np.stack([
+        (th * th).mean(axis=(2, 3)),
+        th.std(axis=3).mean(axis=2),
+        np.abs(th).mean(axis=(2, 3)),
+        np.asarray(d["ll"]),
+    ], axis=-1).reshape(-1, 4)
+
+    assert np.asarray(d["swap_rate"]).min() > 0.01, d["swap_rate"]
+
+    def bm_var(x, B=50):
+        nb = len(x) // B
+        bm = x[: nb * B].reshape(nb, B).mean(axis=1)
+        return bm.var(ddof=1) / nb
+
+    fails = []
+    for j, name in enumerate(["th2", "sd", "absth", "ll"]):
+        zv = (van[:, j].mean() - pt[:, j].mean()) / np.sqrt(
+            bm_var(van[:, j]) + bm_var(pt[:, j]) + 1e-12
+        )
+        if abs(zv) > 5.0:
+            fails.append((name, float(zv), float(van[:, j].mean()),
+                          float(pt[:, j].mean())))
+    assert not fails, fails
+
+
+def test_non_conjugate_rejected():
+    config, consts, y, thr = _setup()
+    bad = GPIRTConfig(n=config.n, m=config.m, horizon=1, C=config.C,
+                      grid_size=config.grid_size, dtype="float64",
+                      f_method="grid")
+    with pytest.raises(NotImplementedError):
+        run_tempered_chains(
+            chain_keys(0, 2), y, np.zeros((1, config.n)), thr, consts, bad,
+            sample_iterations=2, burn_iterations=1, n_temps=2, max_temp=2.0,
+        )
+
+
+def test_single_temp_matches_untempered_semantics():
+    """n_temps=1 tempered run must produce the same draws as the plain
+    chunked driver (same key schedule is NOT guaranteed across drivers, so
+    compare distributionally-trivial invariants: shapes and finiteness)."""
+    config, consts, y, thr = _setup()
+    d = run_tempered_chains(
+        chain_keys(3, 2), y, np.zeros((1, config.n)), thr, consts, config,
+        sample_iterations=20, burn_iterations=5, n_temps=1, max_temp=1.0,
+        chunk_iterations=10,
+    )
+    assert d["theta"].shape == (2, 20, 1, config.n)
+    assert bool(np.isfinite(np.asarray(d["theta"])).all())
+    assert bool(np.isfinite(np.asarray(d["ll"])).all())
