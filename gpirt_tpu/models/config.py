@@ -48,11 +48,15 @@ class GPIRTConfig:
     # Collective affine MH moves on (theta, beta) with f* collapsed
     # (conjugate path only — they need the Albert-Chib z-marginal). These
     # traverse the global location/scale soft modes that dominate theta
-    # autocorrelation (measured tau ~ 2000+ sweeps on senate116 without
-    # them; see gibbs.affine_theta_moves and scripts/diag_mixing.py).
-    affine_rounds: int = 2  # dilation MH rounds per sweep; 0 disables all
-    # affine moves (incl. the shift orbit-Gibbs draw)
-    affine_shift_max: int = 16  # half-window W of the shift orbit-Gibbs draw
+    # autocorrelation (measured tau ~ 2000+ sweeps on senate116; see
+    # gibbs.affine_theta_moves and scripts/diag_mixing.py). OFF by default:
+    # the orbit draw raises within-chain theta ESS ~1.5x on senate116 but
+    # costs ~1.7x wall (scripts/tune_bench.py) — net ESS/sec negative
+    # there; enable for posteriors whose location/scale modes matter more
+    # than throughput (small m, strongly soft modes).
+    affine_rounds: int = 0  # dilation MH rounds per sweep; 0 disables dilation
+    affine_shift_max: int = 0  # half-window W of the shift orbit-Gibbs
+    # draw; 0 disables the orbit move
     affine_dilate_sd: float = 0.02  # sd of log dilation factor
     f_method: str = "auto"  # "auto" (conjugate where supported, else grid) |
     # "grid" (direct f* ESS, no per-iter Cholesky) |
@@ -79,11 +83,13 @@ class GPIRTConfig:
             raise ValueError(f"ess_max_rounds must be >= 1, got {self.ess_max_rounds}")
         if self.affine_rounds < 0:
             raise ValueError(f"affine_rounds must be >= 0, got {self.affine_rounds}")
-        if self.affine_rounds > 0 and (
-            self.affine_shift_max < 1 or self.affine_dilate_sd <= 0
-        ):
+        if self.affine_shift_max < 0:
             raise ValueError(
-                "affine moves need affine_shift_max >= 1 and affine_dilate_sd > 0"
+                f"affine_shift_max must be >= 0, got {self.affine_shift_max}"
+            )
+        if self.affine_rounds > 0 and self.affine_dilate_sd <= 0:
+            raise ValueError(
+                "dilation rounds need affine_dilate_sd > 0"
             )
         if self.theta_method not in ("grid", "ess"):
             raise ValueError(
@@ -193,6 +199,10 @@ class GPIRTConstants:
     grid_gram: jnp.ndarray  # (N, N) master ICC Gram over the grid (no jitter)
     grid_gram_se: jnp.ndarray  # (N, N) squared-exponential part alone
     Psi_grid: jnp.ndarray  # (N, 3) [sd0, sd1*t, sd2*t^2]: K = K_SE + Psi Psi^T
+    U_se: jnp.ndarray  # (N, q) eigenbasis factor: K_SE ~= U_se U_se^T to
+    # ~1e-10 relative (the smooth SE kernel's numerical rank on the grid is
+    # ~26; q = 32). Turns every K + T I solve into a rank-(q+3) capacitance
+    # system — no (n, n) factorization anywhere on the conjugate hot path.
     L_grid: jnp.ndarray  # (N, N) chol(grid_gram + jitter I), f64-computed
     Xstar: jnp.ndarray  # (N, 3) [1, theta*, theta*^2]
     beta_prior_means: jnp.ndarray  # (3, m)
@@ -227,6 +237,13 @@ def make_constants(
     d = grid64[:, None] - grid64[None, :]
     gram_se64 = np.exp(-0.5 * d * d)
     Psi = Xstar * sds_col0[None, :]
+    # one-time host eigendecomposition of the SE grid Gram: numerical rank
+    # ~26 (smooth kernel); q = 32 keeps the truncation ~1e-10 relative,
+    # far below float32 resolution of the Gram entries themselves
+    q = min(32, N)
+    ew, ev = np.linalg.eigh(gram_se64)
+    ew, ev = ew[::-1][:q], ev[:, ::-1][:, :q]
+    U_se64 = ev * np.sqrt(np.maximum(ew, 0.0))[None, :]
 
     L_time = None
     Lambda_time = None
@@ -249,6 +266,7 @@ def make_constants(
         grid_gram=jnp.asarray(gram64, dt),
         grid_gram_se=jnp.asarray(gram_se64, dt),
         Psi_grid=jnp.asarray(Psi, dt),
+        U_se=jnp.asarray(U_se64, dt),
         L_grid=jnp.asarray(L_grid),
         Xstar=jnp.asarray(Xstar, dt),
         beta_prior_means=jnp.asarray(beta_prior_means, dt),

@@ -461,8 +461,9 @@ def draw_fstar_conjugate(
     if sqrt_t is not None:
         eps = eps * sqrt_t  # tempered observation noise sd sqrt(T)
 
-    wb = woodbury_factors(idx, consts, temp=temp)
-    alpha = woodbury_solve(wb, z_resid - u_theta - eps)  # B^{-1} rhs
+    alpha, _ = lowrank_bsolve(
+        idx, consts, z_resid - u_theta - eps, temp=temp
+    )  # B^{-1} rhs via the rank-(q+3) capacitance — no (n, n) work
     # K_{*theta} alpha through the SAME rank-3 split: the raw contraction
     # multiplies ~theta^4-sized kernel entries against alpha and cancels down
     # to O(1) — measured error 400 vs true 16 under TPU bf16-default matmuls,
@@ -624,6 +625,100 @@ def woodbury_factors(
     )
     return WoodburyB(La=La, A=A, Psi=Psi, AinvPsi=AinvPsi, C3=C3, Lc3=Lc3,
                      logdet=logdet)
+
+
+def lowrank_bsolve(theta_idx: jnp.ndarray, consts: GPIRTConstants,
+                   r: jnp.ndarray, temp=None):
+    """(B^{-1} r, logdet B) for B = K(theta) + T I with NO (n, n) work.
+
+    The ICC kernel splits exactly as K = K_SE + Psi Psi^T, and the smooth SE
+    part's grid Gram has numerical rank ~26 (eigendecomposed once at setup,
+    consts.U_se, truncation ~1e-10 relative) — so
+        B = T I + U U^T,   U = [U_se, Psi][theta_idx]  (n, q+3),
+    and B^{-1} r = (r - U C^{-1} U^T r)/T with the (q+3, q+3) capacitance
+    C = T I + U^T U. Everything is a gather + small matmuls + one tiny
+    batched Cholesky: the (n, n) gather/Cholesky/triangular-solve chain this
+    replaces measured 9.3 ms of a 16 ms sweep at 64 chains (latency-bound,
+    not flops-bound — scripts/perf_anatomy.py).
+
+    float32: C is equilibrated before factorization (the Psi columns put
+    ~theta^4 on its diagonal) and the solve takes one refinement step
+    against C and one against B, all at HIGHEST-precision einsums.
+    """
+    H, n = theta_idx.shape
+    dt = r.dtype
+    t = jnp.asarray(1.0 if temp is None else temp, dt)
+    U = jnp.concatenate(
+        [consts.U_se[theta_idx], consts.Psi_grid[theta_idx]], axis=-1
+    )  # (H, n, k)
+    k = U.shape[-1]
+    C = t * jnp.eye(k, dtype=dt) + jnp.einsum(
+        "hnk,hnl->hkl", U, U, precision=_HI
+    )
+    sc = jnp.sqrt(jnp.diagonal(C, axis1=-2, axis2=-1))  # (H, k)
+    inv_sc = 1.0 / sc
+    Ceq = C * (inv_sc[..., :, None] * inv_sc[..., None, :])
+    Lc = jnp.linalg.cholesky(Ceq)
+
+    def c_solve(rhs):  # C^{-1} rhs with equilibration + one refinement
+        def once(b):
+            w = tri_solve(Lc, b * inv_sc[..., None])
+            return tri_solve(Lc, w, trans=True) * inv_sc[..., None]
+        w = once(rhs)
+        resid = rhs - jnp.einsum("hkl,hlm->hkm", C, w, precision=_HI)
+        return w + once(resid)
+
+    def b_solve(rhs):
+        Ur = jnp.einsum("hnk,hnm->hkm", U, rhs, precision=_HI)
+        return (rhs - jnp.einsum("hnk,hkm->hnm", U, c_solve(Ur),
+                                 precision=_HI)) / t
+
+    x = b_solve(r)
+    # one refinement step against B itself (B-apply is cheap small matmuls)
+    Bx = t * x + jnp.einsum(
+        "hnk,hkm->hnm", U,
+        jnp.einsum("hnk,hnm->hkm", U, x, precision=_HI), precision=_HI,
+    )
+    x = x + b_solve(r - Bx)
+    logdet = (n - k) * jnp.log(t) + 2.0 * (
+        jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
+        + jnp.sum(jnp.log(sc), axis=-1)
+    )
+    return x, logdet
+
+
+def woodbury_factors_and_solve(
+    theta_idx: jnp.ndarray, consts: GPIRTConstants, r: jnp.ndarray, temp=None
+):
+    """(WoodburyB, B^{-1} r) with ONE fused A-solve.
+
+    woodbury_factors + woodbury_solve run two _a_solve passes (8 triangular
+    solves, each latency-bound in n on TPU); solving [Psi | r] as one wide
+    right-hand side halves that — solve width is nearly free, solve COUNT
+    is not (measured in scripts/perf_anatomy.py).
+    """
+    H, n = theta_idx.shape
+    dt = consts.grid.dtype
+    A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
+    eye = jnp.eye(n, dtype=dt)
+    A = A + (eye if temp is None else jnp.asarray(temp, dt) * eye)
+    La = jnp.linalg.cholesky(A)
+    Psi = consts.Psi_grid[theta_idx]  # (H, n, 3)
+    sol = _a_solve(La, A, jnp.concatenate([Psi, r], axis=-1))
+    AinvPsi, x = sol[..., :3], sol[..., 3:]
+    C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
+        "hnp,hnq->hpq", Psi, AinvPsi, precision=_HI
+    )
+    Lc3 = chol3(C3)
+    logdet = 2.0 * (
+        jnp.sum(jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1)
+        + jnp.sum(jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=-1)
+    )
+    wb = WoodburyB(La=La, A=A, Psi=Psi, AinvPsi=AinvPsi, C3=C3, Lc3=Lc3,
+                   logdet=logdet)
+    u = jnp.einsum("hnp,hnm->hpm", Psi, x, precision=_HI)  # (H, 3, m)
+    v = _c3_solve(Lc3, C3, u)
+    return wb, x - jnp.einsum("hnp,hpm->hnm", AinvPsi, v, precision=_HI)
 
 
 def woodbury_solve(wb: WoodburyB, r: jnp.ndarray) -> jnp.ndarray:
@@ -921,9 +1016,12 @@ def affine_theta_moves(
     dt = z.dtype
 
     k_shift, k_dil = jax.random.split(key)
-    theta_idx, beta = shift_orbit_gibbs(
-        k_shift, theta_idx, z, beta, consts, config, temp=temp
-    )
+    if config.affine_shift_max > 0:
+        theta_idx, beta = shift_orbit_gibbs(
+            k_shift, theta_idx, z, beta, consts, config, temp=temp
+        )
+    if config.affine_rounds == 0:
+        return theta_idx, beta
 
     parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config, temp=temp)
 
@@ -1393,7 +1491,7 @@ def gibbs_sweep(
                 jax.random.fold_in(k_f, 3 * s), f + mu, y, state.thresholds,
                 temp,
             )
-            if config.affine_rounds > 0:
+            if config.affine_rounds > 0 or config.affine_shift_max > 0:
                 # partially collapsed step: z has consumed the old f*; move
                 # (theta, beta) collectively against the z-marginal, then
                 # regenerate f* from its exact conditional below

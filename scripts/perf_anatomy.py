@@ -31,7 +31,8 @@ PEAK_BF16 = 197e12
 PEAK_F32 = PEAK_BF16 / 3
 
 
-def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains):
+def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains,
+                shift_window=0):
     """Analytic flop count per lockstep sweep (all chains), by block.
 
     Counts multiply-adds as 2 flops; transcendentals (erf, ndtri, log, exp)
@@ -49,13 +50,15 @@ def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains):
     )
     # draw_z_truncnorm: 2 erf + 1 ndtri per cell.
     blocks["draw_z"] = mix_subsweeps * tr(3 * H * n * m)
-    # affine moves: 2 proposals/round + 1 initial eval of _z_marginal_parts.
-    # Each eval: woodbury_factors (chol n^3/3 + A-solve of 3 rhs) +
-    # quad parts (A-solve of m rhs = 5 n^2 m matmul-equivalents: 2+1+2
-    # triangular/residual passes) + small C3 pieces.
+    # affine moves = shift orbit-Gibbs (one (n,n) chol + one fused A-solve of
+    # m + 3J rhs + J rank-3 contractions, J = 4W + 1) + dilation MH rounds
+    # (each a full _z_marginal_parts eval: chol + A-solves of m + 3 rhs).
+    J = 4 * shift_window + 1 if shift_window else 0
+    orbit = H * (mm(n, n, n) / 6 + 5 * mm(n, n, m + 3 * J)
+                 + J * mm(n, 3, m)) if shift_window else 0.0
     per_eval = H * (mm(n, n, n) / 6 + 5 * mm(n, n, 3) + 5 * mm(n, n, m))
-    blocks["affine_moves"] = (
-        (2 * affine_rounds + 1) * per_eval if affine_rounds else 0.0
+    blocks["affine_moves"] = orbit + (
+        (affine_rounds + 1) * per_eval if affine_rounds else 0.0
     )
     # draw_fstar_conjugate: ustar = L_grid @ z (N^2 m), woodbury_solve
     # (5 n^2 m + small), kstar contraction (n N m) + rank-3 pieces.
@@ -180,7 +183,7 @@ def main():
             lambda g, t: G.draw_z_truncnorm(jax.random.fold_in(key, i), g, y, t)
         )(state.f + mu + z_ * 0, state.thresholds),
         z, args.reps)
-    if config.affine_rounds > 0:
+    if config.affine_rounds > 0 or config.affine_shift_max > 0:
         times["affine_moves"] = device_time(
             lambda ti_, i: jax.vmap(
                 lambda t_, z_, b: G.affine_theta_moves(
@@ -206,7 +209,8 @@ def main():
         )(t_, state.f, mu),
         state.thresholds, args.reps)
 
-    fl = flops_model(n, m, H, N, C, config.affine_rounds, config.mix_subsweeps, K)
+    fl = flops_model(n, m, H, N, C, config.affine_rounds, config.mix_subsweeps,
+                     K, shift_window=config.affine_shift_max)
     fl_sweep = sum(fl.values())
 
     sum_blocks = sum(v for k, v in times.items() if k != "full_sweep")

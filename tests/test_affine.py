@@ -73,6 +73,29 @@ class TestDilationInterval:
         d10 = float(_z_marginal_delta(p0, p1))
         np.testing.assert_allclose(d01, -d10, rtol=1e-10)
 
+    def test_lowrank_bsolve_matches_dense(self):
+        """(K + T I)^{-1} r and logdet via the rank-(q+3) eigenbasis path
+        match the dense float64 computation."""
+        from gpirt_tpu.models.gibbs import lowrank_bsolve
+        from gpirt_tpu.ops.kernels import icc_gram_np
+
+        config, consts = _setup(n=9, N=101)
+        rng = np.random.default_rng(3)
+        idx = jnp.asarray(rng.integers(0, 101, (1, 9)), jnp.int32)
+        r = jnp.asarray(rng.standard_normal((1, 9, 5)))
+        for T in (None, 2.5):
+            x, logdet = lowrank_bsolve(idx, consts, r, temp=T)
+            grid = np.asarray(consts.grid)
+            th = grid[np.asarray(idx)[0]]
+            B = icc_gram_np(th, th, np.full(3, 1.5)) + (T or 1.0) * np.eye(9)
+            np.testing.assert_allclose(
+                np.asarray(x)[0], np.linalg.solve(B, np.asarray(r)[0]),
+                rtol=1e-6, atol=1e-8,
+            )
+            np.testing.assert_allclose(
+                float(logdet[0]), np.linalg.slogdet(B)[1], rtol=1e-8
+            )
+
     def test_woodbury_matches_dense(self):
         """B^{-1} r and logdet B from the rank-3 split match the dense
         K + I computation in float64."""

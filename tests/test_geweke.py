@@ -150,6 +150,7 @@ class TestGewekeRegimes:
         n, m, H, C, N = 5, 3, 2, 3, 61
         config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
                              dtype="float64", f_method="conjugate",
+                             affine_shift_max=5, affine_rounds=2,
                              theta_ls=0.05)  # ls <= 0.1 -> RDM
         assert config.theta_regime == "RDM"
         self._run(config, n, m, H, C)
@@ -158,6 +159,7 @@ class TestGewekeRegimes:
         n, m, H, C, N = 5, 3, 2, 3, 61
         config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
                              dtype="float64", f_method="conjugate",
+                             affine_shift_max=5, affine_rounds=2,
                              theta_ls=1.0)  # 0.1 < ls < 3H -> GP
         assert config.theta_regime == "GP"
         self._run(config, n, m, H, C)
@@ -179,7 +181,8 @@ class TestGewekeTempered:
         n, m, H, C, N = 6, 3, 1, 3, 61
         temp = 2.5
         config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
-                             dtype="float64", f_method="conjugate")
+                             dtype="float64", f_method="conjugate",
+                             affine_shift_max=5, affine_rounds=2)
         consts = make_constants(
             config,
             beta_prior_means=np.zeros((3, m)),
@@ -233,7 +236,8 @@ class TestGewekeConjugate:
         n, m, H, C, N = 6, 3, 1, 3, 61
         mask = jnp.asarray(np.random.default_rng(42).random((H, n, m)) > 0.4)
         config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
-                             dtype="float64", f_method="conjugate")
+                             dtype="float64", f_method="conjugate",
+                             affine_shift_max=5, affine_rounds=2)
         consts = make_constants(
             config,
             beta_prior_means=np.zeros((3, m)),
