@@ -131,6 +131,8 @@ def gpirt_mcmc(
     n_temps: int = 1,
     max_temp: float = 4.0,
     swap_every: int = 1,
+    smc_steps: int = 0,
+    smc_max_temp: float = 64.0,
     verbose: bool = True,
 ) -> List[Dict[str, np.ndarray]]:
     """Posterior samples for the GP-IRT model. Returns one dict per chain.
@@ -156,6 +158,12 @@ def gpirt_mcmc(
     ``swap_every`` sweeps; the returned draws are the cold (T = 1) lanes,
     and each chain dict carries the ensemble's per-rung "swap_rate". See
     gpirt_tpu/parallel/tempering.py — no analog exists in the reference.
+
+    ``smc_steps > 0`` prepends an SMC annealed initialization: the chain
+    ensemble starts hot (``smc_max_temp``), anneals to T = 1 over
+    ``smc_steps`` tempered sweeps with importance reweighting and
+    systematic resampling, and the regular run continues from the
+    (basin-weight-correct) annealed ensemble. See parallel/smc.py.
 
     Returned dicts use reference-like layouts:
       theta (S, n, H); beta (S, 3, m, H); f (S, n, m, H) if stored;
@@ -301,6 +309,34 @@ def gpirt_mcmc(
         for d in out:
             d["swap_rate"] = swap_rate
         return out
+
+    if smc_steps > 0:
+        if n_temps > 1:
+            raise ValueError("smc_steps and n_temps > 1 are mutually exclusive")
+        from gpirt_tpu.parallel.chains import chain_keys, run_chains_chunked
+        from gpirt_tpu.parallel.smc import anneal_init
+
+        keys = chain_keys(SEED, CHAIN)
+        states, info = anneal_init(
+            keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
+            n_steps=smc_steps, max_temp=smc_max_temp,
+        )
+        if verbose:
+            print(f"[gpirt] SMC init: {smc_steps} steps from T={smc_max_temp}, "
+                  f"{info['n_resamples']} resamples, final weight-ESS "
+                  f"{info['final_weight_ess']:.1f}/{CHAIN}", file=sys.stderr)
+        draws = run_chains_chunked(
+            keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN, store_f=store_f, store_fstar=store_fstar,
+            initial_states=states,
+        )
+        host = jax.tree_util.tree_map(np.asarray, draws)
+        return [
+            _to_reference_layout({k: v[c] for k, v in host.items()})
+            for c in range(CHAIN)
+        ]
 
     from gpirt_tpu.parallel.chains import run_chains, chain_keys
 

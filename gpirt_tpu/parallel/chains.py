@@ -120,6 +120,7 @@ def run_chains_chunked(
     store_fstar: bool = False,
     chunk_iterations: int = 250,
     on_progress=None,
+    initial_states=None,
 ) -> Dict[str, jnp.ndarray]:
     """``run_chains`` split into bounded device executions.
 
@@ -144,13 +145,16 @@ def run_chains_chunked(
     call — the analog of the reference's per-iteration progress printout
     (src/gpirtMCMC.cpp:257-264), at chunk granularity so the hot loop stays
     on device.
+
+    ``initial_states`` (lane-stacked GPIRTState) replaces the prior-draw
+    initialization — e.g. an SMC-annealed ensemble (parallel/smc.py).
     """
     progs = ChunkedPrograms(
         keys, y, thresholds_init, consts, config,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
     )
-    state = progs.init(theta_init)
+    state = initial_states if initial_states is not None else progs.init(theta_init)
     total = progs.total
 
     # burn/alignment phase

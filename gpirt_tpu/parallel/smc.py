@@ -1,0 +1,170 @@
+"""SMC annealed initialization: temperature-scheduled burn-in with resampling.
+
+The GP-IRT posterior is multi-basin (soft monotone-warp modes of theta; see
+RESULTS.md). Independent parallel chains land in basins by initialization
+lottery, so pooled estimates weight basins arbitrarily; fixed-ladder
+parallel tempering cannot fix it at senate scale (measured: the
+augmented-data dynamics anchor every lane at any affordable temperature).
+
+This module implements the standard SMC-sampler alternative (Del Moral,
+Doucet & Jasra 2006): the chain ensemble starts at a hot temperature
+(observation noise sd sqrt(T_max), the same tempered family as
+parallel/tempering.py), anneals through a geometric schedule to T = 1, and
+at each step is importance-reweighted by the tempered-likelihood ratio and
+systematically resampled when the weight ESS drops below half. Tempered
+Gibbs sweeps (exact for their target — Geweke-validated) are the mutation
+kernel. The ensemble that reaches T = 1 is an (asymptotically) properly
+weighted posterior sample spread across basins with the RIGHT weights; the
+normal sampling phase then continues from it.
+
+Everything is lockstep-vmapped; resampling is one on-device gather along
+the chain axis. ~n_steps extra sweeps of cost (128 steps ~ 1 s on
+senate116 at 64 chains).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
+from gpirt_tpu.models.gibbs import (
+    compute_mu,
+    gibbs_sweep,
+    init_state,
+    theta_from_indices,
+)
+from gpirt_tpu.ops.likelihood import ordinal_ll_terms
+
+__all__ = ["anneal_init", "annealing_schedule"]
+
+
+def annealing_schedule(n_steps: int, max_temp: float) -> np.ndarray:
+    """Geometric T_max -> 1 over n_steps (first entry T_max, last 1.0)."""
+    if n_steps < 2:
+        return np.ones(max(n_steps, 1))
+    return max_temp ** (1.0 - np.arange(n_steps) / (n_steps - 1))
+
+
+def anneal_init(
+    keys: jax.Array,
+    y: jnp.ndarray,
+    theta_init: jnp.ndarray,
+    thresholds_init: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+    *,
+    n_steps: int = 128,
+    max_temp: float = 64.0,
+    sweeps_per_step: int = 1,
+    ess_threshold: float = 0.5,
+):
+    """Anneal K chains from T=max_temp to T=1. Returns (states, info).
+
+    ``states`` is the lane-stacked GPIRTState pytree at T = 1 (feed it to
+    run_chains_chunked(initial_states=...)). ``info`` carries the weight-ESS
+    trace and resample count. Requires the conjugate path (the tempered
+    family).
+    """
+    if config.resolved_f_method != "conjugate":
+        raise NotImplementedError("anneal_init needs f_method='conjugate'")
+    K = int(keys.shape[0])
+    temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
+
+    lane = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+    k_init, k_run = lane[:, 0], lane[:, 1]
+    k_res = lane[0, 2]
+
+    theta_init = jnp.asarray(theta_init, config.jdtype)
+    init_axis = 0 if theta_init.ndim == 3 else None
+    states = jax.jit(jax.vmap(
+        lambda k, t: init_state(k, t, jnp.asarray(thresholds_init,
+                                                  config.jdtype),
+                                y, consts, config),
+        in_axes=(0, init_axis),
+    ))(k_init, theta_init)
+
+    def lane_ll(states, t):
+        def one(s):
+            theta = theta_from_indices(s.theta_idx, consts)
+            g = s.f + compute_mu(theta, s.beta)
+            return jnp.sum(ordinal_ll_terms(g, y, s.thresholds,
+                                            1.0 / jnp.sqrt(t)))
+        return jax.vmap(one)(states)
+
+    @jax.jit
+    def run(states):
+        def step(carry, xs):
+            s, logw = carry
+            i, t_prev, t_new = xs
+            # 1) reweight by the tempered-likelihood ratio at the CURRENT
+            #    particles (SMC sampler with MCMC moves)
+            logw = logw + lane_ll(s, t_new) - lane_ll(s, t_prev)
+            # 2) resample (systematic) when weight ESS < threshold*K
+            lw = logw - jax.scipy.special.logsumexp(logw)
+            w = jnp.exp(lw)
+            ess_w = 1.0 / jnp.sum(w * w)
+            u = jax.random.uniform(jax.random.fold_in(k_res, i), ())
+            pos = (jnp.arange(K, dtype=w.dtype) + u) / K
+            idx = jnp.searchsorted(jnp.cumsum(w), pos)
+            idx = jnp.clip(idx, 0, K - 1)
+            do = ess_w < ess_threshold * K
+            src = jnp.where(do, idx, jnp.arange(K))
+            s = jax.tree_util.tree_map(lambda a: a[src], s)
+            logw = jnp.where(do, jnp.zeros_like(logw), logw)
+            # 3) mutate: tempered sweeps at t_new
+            for r in range(sweeps_per_step):
+                kk = jax.vmap(
+                    lambda k: jax.random.fold_in(jax.random.fold_in(k, i), r)
+                )(k_run)
+                s, _ = jax.vmap(
+                    lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new)
+                )(s, kk)
+            return (s, logw), (ess_w, do)
+
+        xs = (jnp.arange(1, n_steps, dtype=jnp.int32), temps[:-1], temps[1:])
+        (s, logw), (ess_trace, resampled) = jax.lax.scan(
+            step, (states, jnp.zeros(K, config.jdtype)), xs
+        )
+        return s, logw, ess_trace, resampled
+
+    # warm the ensemble at T_max before the schedule starts
+    @jax.jit
+    def warm(states):
+        def body(s, j):
+            kk = jax.vmap(
+                lambda k: jax.random.fold_in(
+                    jax.random.fold_in(k, n_steps + 7), j)
+            )(k_run)
+            s, _ = jax.vmap(
+                lambda cs, k: gibbs_sweep(cs, k, y, consts, config, temps[0])
+            )(s, kk)
+            return s, ()
+        s, _ = jax.lax.scan(body, states, jnp.arange(8))
+        return s
+
+    states = warm(states)
+    states, logw, ess_trace, resampled = run(states)
+
+    # final resample at T = 1 so the ensemble leaves equally weighted (the
+    # downstream chain phase treats lanes as unweighted)
+    @jax.jit
+    def final_resample(states, logw):
+        lw = logw - jax.scipy.special.logsumexp(logw)
+        w = jnp.exp(lw)
+        u = jax.random.uniform(jax.random.fold_in(k_res, n_steps + 1), ())
+        pos = (jnp.arange(K, dtype=w.dtype) + u) / K
+        idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
+        return jax.tree_util.tree_map(lambda a: a[idx], states), w
+
+    states, w_final = final_resample(states, logw)
+    w_final = np.asarray(w_final)
+    info = {
+        "weight_ess": np.asarray(ess_trace),
+        "n_resamples": int(np.asarray(resampled).sum()) + 1,
+        "final_weight_ess": float(1.0 / np.sum(w_final * w_final)),
+    }
+    return states, info
