@@ -328,6 +328,68 @@ def bench_synthetic(n=5000, m=1000, sample_iterations=10, burn_iterations=5):
                        "platform": jax.devices()[0].platform}}
 
 
+def bench_dynamic(n=150, m=60, horizon=10, sample_iterations=300,
+                  burn_iterations=100, n_chains=16):
+    """Dynamic theta over 10 sessions (GP time-prior regime), 16 chains.
+
+    Exercises the reference's hardest configuration — the theta GP over
+    sessions (src/draw-theta.cpp:206-236) with per-horizon latent blocks —
+    at a scale (n*H = 1500 trait values) the single-core reference takes
+    seconds per iteration on.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gpirt_tpu.models import GPIRTConfig, make_constants
+    from gpirt_tpu.parallel.chains import chain_keys, run_chains_chunked
+    from gpirt_tpu.utils.datasets import simulate_dynamic
+    from gpirt_tpu.utils.response import encode_categories
+    from gpirt_tpu.api import default_thresholds
+
+    truth, raw = simulate_dynamic(0, n=n, m=m, horizon=horizon, missing=0.1)
+    y, C, _ = encode_categories(raw)
+    config = GPIRTConfig(n=n, m=m, horizon=horizon, C=C, dtype="float32",
+                         theta_os=1.0, theta_ls=2.0)  # GP regime
+    assert config.theta_regime == "GP"
+    consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
+                            np.zeros((2, n)), np.zeros((2, n)))
+    thr = default_thresholds(C, m, horizon)
+    rng = np.random.default_rng(0)
+    ti = np.stack([
+        np.tile(rng.permutation(np.linspace(-2, 2, n))[None], (horizon, 1))
+        for _ in range(n_chains)
+    ])
+    yj = jnp.asarray(y)
+
+    def go(seed):
+        return run_chains_chunked(
+            chain_keys(seed, n_chains), yj, ti, thr, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations, chunk_iterations=200,
+        )
+
+    jax.block_until_ready(go(9))
+    t0 = time.time()
+    d = go(1)
+    jax.block_until_ready(d)
+    wall = time.time() - t0
+    total = sample_iterations + burn_iterations
+    # posterior-mean drift recovery vs truth (chains sign-aligned first —
+    # the reflection mode makes an unaligned pooled mean cancel)
+    ch_means = np.asarray(jnp.mean(d["theta"], axis=1))  # (K, H, n)
+    tt = np.ascontiguousarray(truth.T)  # (H, n)
+    sign = np.sign(np.sum(ch_means * tt[None], axis=(1, 2), keepdims=True))
+    sign[sign == 0] = 1
+    th = (ch_means * sign).mean(axis=0)  # (H, n)
+    r = abs(np.corrcoef(th.ravel(), tt.ravel())[0, 1])
+    return {"metric": f"iterations/sec, dynamic GP-theta {n}x{m}xH{horizon}",
+            "value": round(total / wall, 2), "unit": "iters/sec",
+            "vs_baseline": None,
+            "detail": {"n_chains": n_chains, "truth_corr": round(float(r), 3),
+                       "ll_final": float(np.asarray(d["ll"])[0, -1]),
+                       "platform": jax.devices()[0].platform}}
+
+
 def bench_chains64(sample_iterations=300, burn_iterations=100):
     """64 chains over the local device mesh with pooled R-hat/ESS."""
     import jax
@@ -404,7 +466,7 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="senate116",
-                    choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k"])
+                    choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k", "dynamic"])
     ap.add_argument("--f-method", default="auto",
                     choices=["auto", "conjugate", "grid", "two_stage"])
     ap.add_argument("--smc-steps", type=int, default=192,
@@ -414,7 +476,8 @@ def main():
 
     if args.config != "senate116":
         fn = {"sdo": bench_sdo, "synthetic": bench_synthetic,
-              "chains64": bench_chains64, "fstar10k": bench_fstar10k}[args.config]
+              "chains64": bench_chains64, "fstar10k": bench_fstar10k,
+              "dynamic": bench_dynamic}[args.config]
         print(json.dumps(fn()))
         return
 

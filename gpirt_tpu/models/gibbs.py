@@ -702,40 +702,6 @@ def lowrank_bsolve(theta_idx: jnp.ndarray, consts: GPIRTConstants,
     return x, logdet
 
 
-def woodbury_factors_and_solve(
-    theta_idx: jnp.ndarray, consts: GPIRTConstants, r: jnp.ndarray, temp=None
-):
-    """(WoodburyB, B^{-1} r) with ONE fused A-solve.
-
-    woodbury_factors + woodbury_solve run two _a_solve passes (8 triangular
-    solves, each latency-bound in n on TPU); solving [Psi | r] as one wide
-    right-hand side halves that — solve width is nearly free, solve COUNT
-    is not (measured in scripts/perf_anatomy.py).
-    """
-    H, n = theta_idx.shape
-    dt = consts.grid.dtype
-    A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
-    eye = jnp.eye(n, dtype=dt)
-    A = A + (eye if temp is None else jnp.asarray(temp, dt) * eye)
-    La = jnp.linalg.cholesky(A)
-    Psi = consts.Psi_grid[theta_idx]  # (H, n, 3)
-    sol = _a_solve(La, A, jnp.concatenate([Psi, r], axis=-1))
-    AinvPsi, x = sol[..., :3], sol[..., 3:]
-    C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
-        "hnp,hnq->hpq", Psi, AinvPsi, precision=_HI
-    )
-    Lc3 = chol3(C3)
-    logdet = 2.0 * (
-        jnp.sum(jnp.log(jnp.diagonal(La, axis1=-2, axis2=-1)), axis=-1)
-        + jnp.sum(jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=-1)
-    )
-    wb = WoodburyB(La=La, A=A, Psi=Psi, AinvPsi=AinvPsi, C3=C3, Lc3=Lc3,
-                   logdet=logdet)
-    u = jnp.einsum("hnp,hnm->hpm", Psi, x, precision=_HI)  # (H, 3, m)
-    v = _c3_solve(Lc3, C3, u)
-    return wb, x - jnp.einsum("hnp,hpm->hnm", AinvPsi, v, precision=_HI)
-
-
 def woodbury_solve(wb: WoodburyB, r: jnp.ndarray) -> jnp.ndarray:
     """B^{-1} r for (H, n, m) right-hand sides."""
     x = _a_solve(wb.La, wb.A, r)  # (H, n, m)
