@@ -2,23 +2,26 @@
 effective samples/sec on senate116.
 
 Other configs (python bench.py --config X):
-  senate116  binary roll-call GP-IRT, 64 vmapped chains (default)
+  senate116  binary roll-call GP-IRT, 64 vmapped chains + SMC init (default)
   sdo        SDO ordinal-response GP-IRT (cutpoint path)
-  synthetic  5k respondents x 1k items (large Gram/Cholesky, batched ESS)
+  synthetic  5k respondents x 1k items (low-rank solves at large n)
   chains64   64 chains sharded over the local device mesh, pooled R-hat/ESS
   fstar10k   dense fstar recovery on a 10k-point theta grid
+  dynamic    150x60 over 10 sessions, GP time-prior regime
 
-Runs the TPU-native sampler on the bundled senate116 roll-call data (binary
-GP-IRT, the reference vignette workload) and reports the median effective
-sample size of theta per second of sampling wall-clock.
+The default runs the TPU-native sampler on the bundled senate116 roll-call
+data (binary GP-IRT, the reference vignette workload) and reports median
+theta ESS per second of sampling wall-clock.
 
 vs_baseline compares against the single-core reference-equivalent sampler:
-a faithful single-threaded C++ port of the reference's per-iteration pipeline
-(native/baseline_sampler.cpp), measured on this host if buildable. The
-reference itself publishes no numbers (BASELINE.md), so the baseline is
-measured, not quoted. ESS-per-iteration is taken from the JAX chain for both
-(same Markov kernel family), so the ratio reduces to per-iteration wall-clock
-x statistical efficiency.
+a faithful single-threaded C++ port of the reference's per-iteration
+pipeline (native/baseline_sampler.cpp), measured on this host if buildable
+(the reference itself publishes no numbers, BASELINE.md). BOTH sides'
+statistical efficiency is measured on matched 500-draw windows: the
+baseline emits its own theta trace (ESS cached in native/baseline_ess.json)
+and the TPU side uses the same per-chain estimator, so the ratio is
+(measured ESS/draw ratio) x (measured wall-clock ratio) with no assumed
+quantities.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """

@@ -338,22 +338,45 @@ def gpirt_mcmc(
             for c in range(CHAIN)
         ]
 
-    from gpirt_tpu.parallel.chains import run_chains, chain_keys
-
-    draws = run_chains(
-        chain_keys(SEED, CHAIN),
-        jnp.asarray(y),
-        th_inits,
-        thresholds_init,
-        consts,
-        config,
-        sample_iterations=sample_iterations,
-        burn_iterations=burn_iterations,
-        thin=THIN,
-        store_f=store_f,
-        store_fstar=store_fstar,
-        mesh=mesh,
+    from gpirt_tpu.parallel.chains import (
+        chain_keys,
+        run_chains,
+        run_chains_chunked,
     )
+
+    if mesh is None:
+        # chunked by default: bounded device executions (long monolithic
+        # calls can exceed runtime execution limits), chunk-granular
+        # progress, and the same deterministic key schedule as run_chains
+        on_progress = None
+        if verbose:
+            def on_progress(done, total):
+                print(f"[gpirt] {done}/{total} iterations "
+                      f"({100.0 * done / total:.0f}%)", file=sys.stderr)
+
+        draws = run_chains_chunked(
+            chain_keys(SEED, CHAIN), jnp.asarray(y), th_inits,
+            thresholds_init, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN, store_f=store_f, store_fstar=store_fstar,
+            on_progress=on_progress,
+        )
+    else:
+        draws = run_chains(
+            chain_keys(SEED, CHAIN),
+            jnp.asarray(y),
+            th_inits,
+            thresholds_init,
+            consts,
+            config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN,
+            store_f=store_f,
+            store_fstar=store_fstar,
+            mesh=mesh,
+        )
     host = jax.tree_util.tree_map(np.asarray, draws)
     return [
         _to_reference_layout({k: v[c] for k, v in host.items()})
