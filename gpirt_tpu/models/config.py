@@ -45,6 +45,12 @@ class GPIRTConfig:
     # reference vignette) | "ess" (the reference code's ESS + snap)
     mean_degree: int = 2  # quadratic parametric mean (recover_fstar uses 1)
     mix_subsweeps: int = 1  # extra (fstar -> theta -> snap) passes per sweep
+    threshold_method: str = "auto"  # cutpoint update: "ess" (y-marginal delta
+    # ESS, the reference's update, src/draw_threshold.cpp) | "collapsed"
+    # (exact draw given the Albert-Chib latents z — box constraints from the
+    # z order statistics, no erf table; conjugate path only; faster per
+    # sweep but measured to slow theta mixing via the t<->f soft mode) |
+    # "auto" (the measured winner — see resolved_threshold_method)
     # Collective affine MH moves on (theta, beta) with f* collapsed
     # (conjugate path only — they need the Albert-Chib z-marginal). These
     # traverse the global location/scale soft modes that dominate theta
@@ -105,6 +111,17 @@ class GPIRTConfig:
                 "f_method='conjugate' does not support constant_IRF yet; "
                 "use 'grid' or 'two_stage'"
             )
+        if self.threshold_method not in ("auto", "ess", "collapsed"):
+            raise ValueError(
+                "threshold_method must be 'auto', 'ess' or 'collapsed', "
+                f"got {self.threshold_method!r}"
+            )
+        if (self.threshold_method == "collapsed"
+                and self.resolved_f_method != "conjugate"):
+            raise ValueError(
+                "threshold_method='collapsed' needs the Albert-Chib latents "
+                "(f_method='conjugate')"
+            )
         if self.fstar_method not in ("matheron", "chol"):
             raise ValueError(
                 f"fstar_method must be 'matheron' or 'chol', got {self.fstar_method!r}"
@@ -140,6 +157,25 @@ class GPIRTConfig:
         if self.constant_IRF:
             return "grid"
         return "conjugate"
+
+    @property
+    def resolved_threshold_method(self) -> str:
+        """"auto" resolves to the measured theta-ESS/sec winner: "ess".
+
+        The collapsed draw is exact and 1.5x faster per sweep (5.3 vs 7.9 ms
+        at 64 senate116 chains — it deletes the 26%-of-sweep erf table), but
+        conditioning on z anchors the cutpoints to the O(1/n) order-statistic
+        box, and through the t<->f soft mode that drags THETA mixing down
+        3.2x (within-chain ESS/draw 0.101 -> 0.032; RESULTS.md threshold
+        A/B). Net ess/sec: 490 (ess) vs 222 (collapsed), so auto stays on
+        the y-marginal ESS; "collapsed" remains available where raw sweep
+        throughput is what matters. Non-conjugate paths have no z and always
+        use the y-marginal ESS."""
+        if self.resolved_f_method != "conjugate":
+            return "ess"
+        if self.threshold_method == "auto":
+            return "ess"
+        return self.threshold_method
 
     @property
     def chol_normalized(self) -> bool:

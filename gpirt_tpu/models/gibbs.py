@@ -411,21 +411,38 @@ def draw_z_truncnorm(
     big = jnp.asarray(1e30, dt)
     t_clip = jnp.clip(thresholds, -big, big)  # (H, m, C+1)
     Cp1 = thresholds.shape[-1]
-    oh_hi = jax.nn.one_hot(y, Cp1, dtype=dt)          # selects t[y]
-    oh_lo = jax.nn.one_hot(y - 1, Cp1, dtype=dt)      # selects t[y-1]; y=0 -> none
-    z_hi = jnp.einsum("hijc,hjc->hij", oh_hi, t_clip)
-    z_lo = jnp.einsum("hijc,hjc->hij", oh_lo, t_clip)
-    mask = y > 0
     sqrt_t, inv_s = _temp_scales(temp, dt)
     c = jnp.asarray(0.7071067811865476, dt)
     if inv_s is not None:
         c = c * inv_s
-    cdf_lo = 0.5 * (1.0 + jax.lax.erf((z_lo - g) * c))
-    cdf_hi = 0.5 * (1.0 + jax.lax.erf((z_hi - g) * c))
+    if Cp1 == 3:
+        # binary (C = 2): the only finite bound of ANY observed cell is the
+        # single interior cutpoint t_1 — one erf per cell instead of two,
+        # and no one-hot contractions at all (y = 1 -> hi = t_1; y = 2 ->
+        # lo = t_1; y = 0 missing -> unconstrained)
+        t1 = t_clip[:, None, :, 1]  # (H, 1, m)
+        cdf_b = 0.5 * (1.0 + jax.lax.erf((t1 - g) * c))
+        cdf_lo = jnp.where(y == 2, cdf_b, 0.0)
+        cdf_hi = jnp.where(y == 1, cdf_b, 1.0)
+        z_lo = jnp.where(y == 2, t1, -big)  # for the far-tail fallback
+        z_hi = jnp.where(y == 1, t1, big)
+    else:
+        oh_hi = jax.nn.one_hot(y, Cp1, dtype=dt)      # selects t[y]
+        oh_lo = jax.nn.one_hot(y - 1, Cp1, dtype=dt)  # t[y-1]; y=0 -> none
+        # HIGHEST: TPU default-bf16 matmuls would quantize the truncation
+        # bounds to ~8-bit mantissa (~0.4% relative) — a systematic bias in
+        # every float32 z draw the f64 Geweke tests cannot see; these are
+        # length-(C+1) dots, true-f32 is free (ADVICE r2)
+        hi_p = jax.lax.Precision.HIGHEST
+        z_hi = jnp.einsum("hijc,hjc->hij", oh_hi, t_clip, precision=hi_p)
+        z_lo = jnp.einsum("hijc,hjc->hij", oh_lo, t_clip, precision=hi_p)
+        mask = y > 0
+        cdf_lo = 0.5 * (1.0 + jax.lax.erf((z_lo - g) * c))
+        cdf_hi = 0.5 * (1.0 + jax.lax.erf((z_hi - g) * c))
+        # missing cells: full-support draw
+        cdf_lo = jnp.where(mask, cdf_lo, 0.0)
+        cdf_hi = jnp.where(mask, cdf_hi, 1.0)
     u = jax.random.uniform(key, g.shape, dt)
-    # missing cells: full-support draw
-    cdf_lo = jnp.where(mask, cdf_lo, 0.0)
-    cdf_hi = jnp.where(mask, cdf_hi, 1.0)
     eps = jnp.asarray(1e-6, dt)
     p = jnp.clip(cdf_lo + u * (cdf_hi - cdf_lo), eps, 1.0 - eps)
     q = ndtri(p).astype(dt)
@@ -1340,6 +1357,106 @@ def draw_threshold(
     return delta_to_threshold(d_new)
 
 
+def draw_threshold_collapsed(
+    key: jax.Array,
+    thresholds: jnp.ndarray,
+    z: jnp.ndarray,
+    y: jnp.ndarray,
+    config: GPIRTConfig,
+) -> jnp.ndarray:
+    """Cutpoint update CONDITIONED on the Albert-Chib latents z.
+
+    Given z, the ordinal likelihood collapses to box constraints on the
+    interior cutpoints: for c = 1..C-1,
+
+        lo_c = max{z_ij : y_ij = c}  <=  t_c  <  hi_c = min{z_ij : y_ij = c+1}
+
+    (missing cells, y = 0, are unconstrained), so p(t | z, y) is the delta
+    prior N(0, I) (src/draw_threshold.cpp:17,109 in the reference's delta
+    parametrization, src/log-likelihood.cpp:66-88) restricted to the box —
+    no (n, m, C)-sized erf table per rejection round (the y-marginal ESS in
+    draw_threshold spends ~26% of the senate116 sweep there).
+
+    The box always contains the current cutpoints: every z was drawn inside
+    its cell's CURRENT truncation interval (draw_z_truncnorm), so
+    lo_c <= t_c^old < hi_c by construction and the update never starts
+    outside its own support.
+
+    C == 2 (binary data): the single interior cutpoint has prior
+    t_1 = delta_0 ~ N(0, 1) — the conditional is a truncated normal, drawn
+    exactly by inverse-CDF, loop-free. C > 2: ESS on delta with the 0/-inf
+    box-indicator likelihood (exact: ESS of a truncated Gaussian), each
+    shrink round a length-(C-1) compare per item instead of the erf table.
+
+    Valid at any tempering T: the tempered model's augmentation is
+    z ~ N(g, T) with the SAME cutpoint indicator (draw_z_truncnorm), so
+    p(t | z, y) does not involve T. constant_IRF shares one cutpoint vector
+    across horizons (src/draw_threshold.cpp:181-204): the box pools all
+    horizons' constraints.
+    """
+    from jax.scipy.special import ndtri
+
+    H, m, Cp1 = thresholds.shape
+    C = Cp1 - 1
+    dt = thresholds.dtype
+    big = jnp.asarray(1e30, dt)
+    cats = jnp.arange(1, C)[None, None, None, :]  # interior cutpoints 1..C-1
+    yb = y[..., None]  # (H, n, m, 1)
+    zb = z[..., None].astype(dt)
+    lo = jnp.max(jnp.where(yb == cats, zb, -big), axis=1)  # (H, m, C-1)
+    hi = jnp.min(jnp.where(yb == cats + 1, zb, big), axis=1)
+    if config.constant_IRF:
+        lo = jnp.max(lo, axis=0)  # pool horizons: (m, C-1)
+        hi = jnp.min(hi, axis=0)
+
+    if C == 2:
+        # exact inverse-CDF truncated-normal draw of t_1 ~ N(0, 1) | box
+        c = jnp.asarray(0.7071067811865476, dt)
+        cdf_lo = 0.5 * (1.0 + jax.lax.erf(lo * c))
+        cdf_hi = 0.5 * (1.0 + jax.lax.erf(hi * c))
+        u = jax.random.uniform(key, lo.shape, dt)
+        eps = jnp.asarray(1e-6, dt)
+        p = jnp.clip(cdf_lo + u * (cdf_hi - cdf_lo), eps, 1.0 - eps)
+        t1 = ndtri(p).astype(dt)
+        # far-tail saturated CDFs can land outside the box — clamp back
+        # (the +-1e30 unconstrained fills never bind)
+        t1 = jnp.clip(t1, lo, hi)
+        ninf = jnp.full_like(t1, -jnp.inf)
+        pinf = jnp.full_like(t1, jnp.inf)
+        thr = jnp.concatenate([ninf, t1, pinf], axis=-1)  # (..., 3)
+        if config.constant_IRF:
+            thr = jnp.broadcast_to(thr[None], (H, m, Cp1))
+        return thr
+
+    # C > 2: ESS on delta against the box indicator (exact truncated-
+    # Gaussian sampling; the current state is always inside, see above)
+    k_nu, k_ess = jax.random.split(key)
+    if config.constant_IRF:
+        delta = threshold_to_delta(thresholds[0])  # (m, C-1)
+        nu = jax.random.normal(k_nu, delta.shape, dt)
+
+        def loglik(d):  # (m, C-1) -> (m,)
+            t_int = delta_to_threshold(d)[..., 1:C]
+            ok = jnp.all((t_int >= lo) & (t_int < hi), axis=-1)
+            return jnp.where(ok, 0.0, -jnp.inf)
+
+        d_new = ess_update(k_ess, delta, nu, loglik,
+                           max_rounds=config.ess_max_rounds)
+        return jnp.broadcast_to(delta_to_threshold(d_new)[None], (H, m, Cp1))
+
+    delta = threshold_to_delta(thresholds)  # (H, m, C-1)
+    nu = jax.random.normal(k_nu, delta.shape, dt)
+
+    def loglik(d):  # (H, m, C-1) -> (H, m)
+        t_int = delta_to_threshold(d)[..., 1:C]
+        ok = jnp.all((t_int >= lo) & (t_int < hi), axis=-1)
+        return jnp.where(ok, 0.0, -jnp.inf)
+
+    d_new = ess_update(k_ess, delta, nu, loglik,
+                       max_rounds=config.ess_max_rounds)
+    return delta_to_threshold(d_new)
+
+
 # ---------------------------------------------------------------------------
 # initialization and the full sweep
 # ---------------------------------------------------------------------------
@@ -1498,10 +1615,16 @@ def gibbs_sweep(
         beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config, temp)
         state = state._replace(beta=beta)
 
-        # cutpoints (z-marginal ESS, like the reference) and ll trace
+        # cutpoints: collapsed exact draw given z (default) or the
+        # reference's z-marginal ESS — then the ll trace
         mu = compute_mu(theta, beta)
-        thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y,
-                                    config, temp)
+        if config.resolved_threshold_method == "collapsed":
+            thresholds = draw_threshold_collapsed(
+                k_t, state.thresholds, z, y, config
+            )
+        else:
+            thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y,
+                                        config, temp)
         state = state._replace(thresholds=thresholds)
         ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds, inv_s))
         return state, ll

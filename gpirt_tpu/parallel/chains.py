@@ -13,6 +13,7 @@ lock-step synchronization of rejection rounds across devices.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -21,8 +22,12 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
-from gpirt_tpu.models.gibbs import gibbs_sweep, init_state, theta_from_indices
-from gpirt_tpu.models.sampler import run_chain
+from gpirt_tpu.models.gibbs import (
+    compute_mu_star,
+    gibbs_sweep,
+    init_state,
+    theta_from_indices,
+)
 
 try:  # jax>=0.4.35 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -69,6 +74,8 @@ def run_chains(
     stochasticity comes entirely from ``keys[k]`` (initial values are drawn
     from the priors per chain, like the reference's per-chain set.seed).
     """
+    from gpirt_tpu.models.sampler import run_chain
+
     n_chains = keys.shape[0]
     theta_init = jnp.asarray(theta_init, config.jdtype)
     thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
@@ -105,6 +112,123 @@ def run_chains(
     return jax.jit(sharded)(keys, y, theta_init, thresholds_init, consts)
 
 
+# ---------------------------------------------------------------------------
+# Module-level compiled-program factories.
+#
+# VERDICT r2 item 1: ChunkedPrograms used to hold its jit closures per
+# INSTANCE, so every run_chains_chunked call (bench warmup + timed run, every
+# user's second gpirt_mcmc call) re-traced and re-deserialized the programs —
+# a ~10x recorded-throughput regression at 64 chains. These factories are
+# keyed on the *hashable statics* (config, counts, flags) and take the data
+# (y), the setup constants, the per-chain keys, the state and the absolute
+# start iteration as jit ARGUMENTS: any ChunkedPrograms instance with the
+# same statics + shapes reuses the compiled executable, and — unlike the
+# previous close-over-the-arrays design — two different same-shape datasets
+# can never be served a stale program (the data is an input, not a constant).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _init_program(config: GPIRTConfig, per_chain_init: bool):
+    init_axis = 0 if per_chain_init else None
+
+    def one(key, ti, thr, y, consts):
+        return init_state(key, ti, thr, y, consts, config)
+
+    return jax.jit(jax.vmap(one, in_axes=(0, init_axis, None, None, None)))
+
+
+@functools.lru_cache(maxsize=64)
+def _advance_program(config: GPIRTConfig, count: int):
+    """Advance all chains `count` sweeps; iteration i uses fold_in(kr, i)."""
+
+    def one(s, kr, start, y, consts):
+        def body(carry, j):
+            carry, _ = gibbs_sweep(
+                carry, jax.random.fold_in(kr, start + j), y, consts, config
+            )
+            return carry, None
+
+        s, _ = jax.lax.scan(body, s, jnp.arange(count))
+        return s
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
+
+
+def _record_draw(s, ll, consts, config, store_f, store_fstar):
+    out = {
+        "theta": theta_from_indices(s.theta_idx, consts),
+        "beta": s.beta,
+        "threshold": s.thresholds,
+        "ll": ll,
+    }
+    if store_f:
+        out["f"] = s.f
+    if store_fstar:
+        ms = compute_mu_star(consts, s.beta)
+        if config.constant_IRF:
+            ms = jnp.broadcast_to(ms[:1], ms.shape)
+        out["fstar"] = s.fstar + ms
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _records_program(config: GPIRTConfig, count: int, thin: int,
+                     store_f: bool, store_fstar: bool, final: bool):
+    """Emit `count` thinned records; record r covers absolute iterations
+    [start0 + r*thin, start0 + (r+1)*thin) with the draw taken after the
+    first sweep of the window (run_chain's sample_step semantics).
+
+    ``final`` skips the trailing thin-1 alignment sweeps after the LAST
+    record (they exist only to position the state for the *next* record;
+    running them past the final record wasted device work and overran the
+    requested iteration total — ADVICE r2). Keys are absolute-iteration
+    fold_ins, so recorded draws are identical either way.
+    """
+
+    def one(s, kr, start0, y, consts):
+        def rec_sweep(carry, start):
+            carry, ll = gibbs_sweep(
+                carry, jax.random.fold_in(kr, start), y, consts, config
+            )
+            return carry, _record_draw(carry, ll, consts, config,
+                                       store_f, store_fstar)
+
+        def trail(carry, start):
+            def body(c, j):
+                c, _ = gibbs_sweep(
+                    c, jax.random.fold_in(kr, start + j), y, consts, config
+                )
+                return c, None
+
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(thin - 1))
+            return carry
+
+        def step(carry, r):
+            start = start0 + r * thin
+            carry, out = rec_sweep(carry, start)
+            carry = trail(carry, start + 1)
+            return carry, out
+
+        n_full = count - 1 if final else count
+        if n_full > 0:
+            s, outs = jax.lax.scan(step, s, jnp.arange(n_full))
+        else:
+            outs = None
+        if final:
+            s, last = rec_sweep(s, start0 + (count - 1) * thin)
+            if outs is None:
+                outs = jax.tree_util.tree_map(lambda a: a[None], last)
+            else:
+                outs = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                    outs, last,
+                )
+        return s, outs
+
+    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
+
+
 def run_chains_chunked(
     keys: jax.Array,
     y: jnp.ndarray,
@@ -134,9 +258,10 @@ def run_chains_chunked(
         with no outputs, then
       * a record-structured sampling phase — each scan step records one
         thinned draw then advances ``thin - 1`` sweeps (run_chain's
-        sample_step), so chunks emit exactly the thinned draws. No post-hoc
-        gathers, no overrun past the requested total, and at most two
-        compiled programs per phase (full chunk + final partial).
+        sample_step), so chunks emit exactly the thinned draws, with no
+        overrun past the final record. At most three compiled programs per
+        phase (full chunk, final partial, final-record variant) — all shared
+        process-wide across instances (see _records_program).
 
     Recorded draws stay device-resident (concatenated device buffers); fetch
     or reduce them with device-side diagnostics to avoid host-transfer costs.
@@ -172,7 +297,8 @@ def run_chains_chunked(
     rec = 0
     while rec < progs.sched.n_samples:
         c = min(recs_per_chunk, progs.sched.n_samples - rec)
-        state, outs = progs.records(state, rec, c)
+        final = rec + c == progs.sched.n_samples
+        state, outs = progs.records(state, rec, c, final=final)
         for name, arr in outs.items():
             acc.setdefault(name, []).append(arr)
         rec += c
@@ -187,11 +313,14 @@ def run_chains_chunked(
 class ChunkedPrograms:
     """Compiled building blocks for chunked multi-chain execution.
 
-    Wraps the vmapped init / advance-`count`-sweeps / emit-`count`-records
-    programs with a per-count compile cache (at most two counts per phase:
-    the full chunk and the final partial). Shared by ``run_chains_chunked``
-    and the checkpointed drivers (gpirt_tpu.utils.checkpoint) so both run
-    the exact run_chain key schedule.
+    Thin stateful wrapper over the module-level cached program factories:
+    holds the run's data/constants/keys/schedule and dispatches to compiled
+    init / advance-`count`-sweeps / emit-`count`-records programs. Compiled
+    executables are shared process-wide across instances with the same
+    (config, counts, flags) statics and array shapes — repeat calls (bench
+    warmup + timed run, a user's second gpirt_mcmc) pay zero re-tracing.
+    Shared by ``run_chains_chunked`` and the checkpointed drivers
+    (gpirt_tpu.utils.checkpoint) so both run the exact run_chain key schedule.
     """
 
     def __init__(self, keys, y, thresholds_init, consts, config, *,
@@ -211,86 +340,29 @@ class ChunkedPrograms:
         split = jax.vmap(jax.random.split)(keys)  # (K, 2, ...)
         self.k_init = split[:, 0]
         self.k_run = split[:, 1]
-        self._compiled: Dict[tuple, Any] = {}
 
     def init(self, theta_init):
         theta_init = jnp.asarray(theta_init, self.config.jdtype)
-        init_axis = 0 if theta_init.ndim == 3 else None
-
-        def one(key, ti):
-            return init_state(key, ti, self.thresholds_init, self.y,
-                              self.consts, self.config)
-
-        return jax.jit(jax.vmap(one, in_axes=(0, init_axis)))(
-            self.k_init, theta_init
-        )
-
-    def _record(self, s, ll):
-        from gpirt_tpu.models.gibbs import compute_mu_star
-
-        out = {
-            "theta": theta_from_indices(s.theta_idx, self.consts),
-            "beta": s.beta,
-            "threshold": s.thresholds,
-            "ll": ll,
-        }
-        if self.store_f:
-            out["f"] = s.f
-        if self.store_fstar:
-            ms = compute_mu_star(self.consts, s.beta)
-            if self.config.constant_IRF:
-                ms = jnp.broadcast_to(ms[:1], ms.shape)
-            out["fstar"] = s.fstar + ms
-        return out
+        fn = _init_program(self.config, theta_init.ndim == 3)
+        return fn(self.k_init, theta_init, self.thresholds_init, self.y,
+                  self.consts)
 
     def advance(self, state, start, count):
         """Advance all chains `count` sweeps from absolute iteration `start`."""
-        fn = self._compiled.get(("advance", count))
-        if fn is None:
-            y, consts, config = self.y, self.consts, self.config
+        fn = _advance_program(self.config, count)
+        return fn(state, self.k_run, start, self.y, self.consts)
 
-            def one(s, kr, st):
-                def body(carry, j):
-                    carry, _ = gibbs_sweep(
-                        carry, jax.random.fold_in(kr, st + j), y, consts, config
-                    )
-                    return carry, None
-                s, _ = jax.lax.scan(body, s, jnp.arange(count))
-                return s
+    def records(self, state, start_rec, count, final=False):
+        """Emit `count` thinned records starting at record index `start_rec`.
 
-            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
-            self._compiled[("advance", count)] = fn
-        return fn(state, self.k_run, start)
-
-    def records(self, state, start_rec, count):
-        """Emit `count` thinned records starting at record index `start_rec`."""
-        fn = self._compiled.get(("records", count))
-        if fn is None:
-            y, consts, config = self.y, self.consts, self.config
-            thin, pre = self.thin, self.sched.pre_iterations
-            record = self._record
-
-            def one(s, kr, r0):
-                # run_chain records after sweep `start`, then advances the
-                # remaining thin-1 sweeps; reproduce that exactly:
-                def step(carry, r):
-                    start = pre + (r0 + r) * thin
-                    carry, ll = gibbs_sweep(
-                        carry, jax.random.fold_in(kr, start), y, consts, config
-                    )
-                    out = record(carry, ll)
-                    def body(c, j):
-                        c, _ = gibbs_sweep(
-                            c, jax.random.fold_in(kr, start + 1 + j), y,
-                            consts, config,
-                        )
-                        return c, None
-                    carry, _ = jax.lax.scan(
-                        body, carry, jnp.arange(max(thin - 1, 0))
-                    )
-                    return carry, out
-                return jax.lax.scan(step, s, jnp.arange(count))
-
-            fn = jax.jit(jax.vmap(one, in_axes=(0, 0, None)))
-            self._compiled[("records", count)] = fn
-        return fn(state, self.k_run, start_rec)
+        ``final=True`` marks the run's last chunk: the trailing thin-1
+        alignment sweeps after the last record are skipped (recorded draws
+        are unaffected — keys are absolute-iteration fold_ins — but the
+        returned state is then NOT positioned for further records).
+        """
+        fn = _records_program(
+            self.config, count, self.thin, self.store_f, self.store_fstar,
+            bool(final) and self.thin > 1,
+        )
+        start0 = self.sched.pre_iterations + start_rec * self.thin
+        return fn(state, self.k_run, start0, self.y, self.consts)

@@ -25,13 +25,19 @@ axis. Lane l of each group holds temperature temps[l] forever (states swap,
 temperatures don't), so the stored cold draws are simply lane 0 of each
 group.
 
+Compiled programs are built by module-level factories cached on the
+hashable statics; the dataset / constants / keys / temperatures are jit
+ARGUMENTS, so repeat runs re-trace nothing and stale-closure bugs cannot
+exist (same redesign as parallel.chains, VERDICT r2 item 1).
+
 No analog exists in the reference (single sequential chains,
 R/gpirtMCMC.R:112); cites kept to the sampler blocks being tempered.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+import functools
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -58,12 +64,187 @@ def temperature_ladder(n_temps: int, max_temp: float) -> np.ndarray:
     return max_temp ** (np.arange(n_temps) / (n_temps - 1))
 
 
+def _lane_ll(states, temps_eval, y, consts):
+    """l_{temps_eval[k]}(S_k) for every lane: (K,) tempered data ll."""
+
+    def one(s, t):
+        theta = theta_from_indices(s.theta_idx, consts)
+        g = s.f + compute_mu(theta, s.beta)
+        inv_s = 1.0 / jnp.sqrt(t)
+        return jnp.sum(ordinal_ll_terms(g, y, s.thresholds, inv_s))
+
+    return jax.vmap(one)(states, temps_eval)
+
+
+def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts):
+    """One even/odd adjacent-pair swap phase (parity = i % 2).
+
+    ``ll_own`` is each lane's own-temperature data ll of the CURRENT state
+    (reused from the sweep — one full likelihood pass saved per phase).
+    Returns (swapped_states, post_swap_ll, accepted_pair_low): the returned
+    ll corresponds to the post-swap states, so recorded (draw, ll) pairs
+    stay consistent on swap-accepting sweeps (ADVICE r2).
+    """
+    K = G * L
+    lane = jnp.arange(K)
+    l = lane % L
+    parity = jnp.asarray(i % 2, jnp.int32)
+    partner_l = l + 1 - 2 * ((l - parity) % 2)
+    valid = (partner_l >= 0) & (partner_l < L)
+    partner = jnp.where(valid, lane + (partner_l - l), lane)  # (K,)
+
+    ll_cross = _lane_ll(states, temps[partner], y, consts)
+    delta = (ll_cross + ll_cross[partner]) - (ll_own + ll_own[partner])
+
+    pair_lo = jnp.minimum(lane, partner)
+    u = jax.random.uniform(jax.random.fold_in(k_swap, i), (K,), temps.dtype)
+    accept = valid & (jnp.log(u[pair_lo]) < delta)
+
+    src = jnp.where(accept, partner, lane)
+    swapped = jax.tree_util.tree_map(lambda a: a[src], states)
+    # after the swap lane k holds S_{partner(k)}; its own-temperature ll is
+    # l_{T_k}(S_{partner(k)}) = ll_cross[partner(k)]
+    ll_post = jnp.where(accept, ll_cross[partner], ll_own)
+    # report each accepted pair once, at its pair-low lane (rung index)
+    return swapped, ll_post, accept & (partner > lane)
+
+
+def _tempered_sweep(states, i, k_run, temps, k_swap, swap_every, G, L,
+                    y, consts, config):
+    """One lockstep tempered sweep + (periodic) swap phase."""
+    keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(k_run)
+    states, ll = jax.vmap(
+        lambda s, k, t: gibbs_sweep(s, k, y, consts, config, t)
+    )(states, keys, temps)
+    if swap_every > 0:
+        do_swap = (i % swap_every) == 0
+        swapped, ll_post, acc = _swap(
+            states, ll, temps, k_swap, i // swap_every, G, L, y, consts
+        )
+        states = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(do_swap, b, a), states, swapped
+        )
+        ll = jnp.where(do_swap, ll_post, ll)
+        acc = jnp.where(do_swap, acc, False)
+    else:
+        acc = jnp.zeros((G * L,), bool)
+    return states, ll, acc
+
+
+def _cold_record(s, ll, G, L, consts, config, store_f, store_fstar):
+    """Cold-lane (l = 0) thinned record in internal layout."""
+    cold = jax.tree_util.tree_map(
+        lambda a: a.reshape((G, L) + a.shape[1:])[:, 0], s
+    )
+    out = {
+        "theta": jax.vmap(lambda i: theta_from_indices(i, consts))(
+            cold.theta_idx
+        ),
+        "beta": cold.beta,
+        "threshold": cold.thresholds,
+        "ll": ll.reshape(G, L)[:, 0],
+    }
+    if store_f:
+        out["f"] = cold.f
+    if store_fstar:
+        ms = jax.vmap(lambda b: compute_mu_star(consts, b))(cold.beta)
+        if config.constant_IRF:
+            ms = jnp.broadcast_to(ms[:, :1], ms.shape)
+        out["fstar"] = cold.fstar + ms
+    return out
+
+
+@functools.lru_cache(maxsize=32)
+def _t_init_program(config: GPIRTConfig, per_group_init: bool, L: int):
+    def one(key, ti, thr, y, consts):
+        return init_state(key, ti, thr, y, consts, config)
+
+    init_axis = 0 if per_group_init else None
+    return jax.jit(jax.vmap(one, in_axes=(0, init_axis, None, None, None)))
+
+
+@functools.lru_cache(maxsize=32)
+def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
+                       G: int, L: int):
+    def run(states, k_run, temps, k_swap, start, y, consts):
+        def body(carry, j):
+            s, acc = carry
+            s, _, a = _tempered_sweep(
+                s, start + j, k_run, temps, k_swap, swap_every, G, L,
+                y, consts, config,
+            )
+            return (s, acc + a.astype(jnp.int32)), None
+
+        init = (states, jnp.zeros((G * L,), jnp.int32))
+        (s, acc), _ = jax.lax.scan(body, init, jnp.arange(count))
+        return s, acc
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=32)
+def _t_records_program(config: GPIRTConfig, count: int, thin: int,
+                       swap_every: int, G: int, L: int,
+                       store_f: bool, store_fstar: bool, final: bool):
+    def run(states, k_run, temps, k_swap, start0, y, consts):
+        def rec_sweep(carry, start):
+            s, acc = carry
+            s, ll, a = _tempered_sweep(
+                s, start, k_run, temps, k_swap, swap_every, G, L,
+                y, consts, config,
+            )
+            acc = acc + a.astype(jnp.int32)
+            out = _cold_record(s, ll, G, L, consts, config,
+                               store_f, store_fstar)
+            return (s, acc), out
+
+        def trail(carry, start):
+            def body(c, j):
+                s2, acc2 = c
+                s2, _, a2 = _tempered_sweep(
+                    s2, start + j, k_run, temps, k_swap, swap_every, G, L,
+                    y, consts, config,
+                )
+                return (s2, acc2 + a2.astype(jnp.int32)), None
+
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(thin - 1))
+            return carry
+
+        def step(carry, r):
+            start = start0 + r * thin
+            carry, out = rec_sweep(carry, start)
+            carry = trail(carry, start + 1)
+            return carry, out
+
+        init = (states, jnp.zeros((G * L,), jnp.int32))
+        n_full = count - 1 if final else count
+        if n_full > 0:
+            carry, outs = jax.lax.scan(step, init, jnp.arange(n_full))
+        else:
+            carry, outs = init, None
+        if final:
+            carry, last = rec_sweep(carry, start0 + (count - 1) * thin)
+            if outs is None:
+                outs = jax.tree_util.tree_map(lambda a: a[None], last)
+            else:
+                outs = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                    outs, last,
+                )
+        s, acc = carry
+        # (count, G, ...) -> (G, count, ...) to match run_chains
+        outs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), outs)
+        return s, acc, outs
+
+    return jax.jit(run)
+
+
 class TemperedPrograms:
     """Compiled building blocks for chunked tempered-ensemble execution.
 
     Mirrors parallel.chains.ChunkedPrograms: init / advance(count) /
-    records(count) with a per-count compile cache. Lane layout: group-major
-    (G, L) flattened to K = G*L; lane l runs temperature temps[l].
+    records(count) dispatching to module-level cached programs. Lane layout:
+    group-major (G, L) flattened to K = G*L; lane l runs temperature temps[l].
     """
 
     def __init__(self, keys, y, thresholds_init, consts, config, *,
@@ -95,155 +276,30 @@ class TemperedPrograms:
             lanes[:, n_temps]
         ).reshape(self.G * self.L)
         self.k_swap = lanes[0, n_temps + 1]
-        self._compiled: Dict[tuple, Any] = {}
-
-    # -- pieces -----------------------------------------------------------
 
     def init(self, theta_init):
         theta_init = jnp.asarray(theta_init, self.config.jdtype)
-        if theta_init.ndim == 3:  # (G, H, n) per-group inits -> tile lanes
+        per_group = theta_init.ndim == 3
+        if per_group:  # (G, H, n) per-group inits -> tile lanes
             theta_init = jnp.repeat(theta_init, self.L, axis=0)
-            init_axis = 0
-        else:
-            init_axis = None
-
-        def one(key, ti):
-            return init_state(key, ti, self.thresholds_init, self.y,
-                              self.consts, self.config)
-
-        return jax.jit(jax.vmap(one, in_axes=(0, init_axis)))(
-            self.k_init, theta_init
-        )
-
-    def _lane_ll(self, states, temps_eval):
-        """l_{temps_eval[k]}(S_k) for every lane: (K,) tempered data ll."""
-        def one(s, t):
-            theta = theta_from_indices(s.theta_idx, self.consts)
-            g = s.f + compute_mu(theta, s.beta)
-            inv_s = 1.0 / jnp.sqrt(t)
-            return jnp.sum(ordinal_ll_terms(g, self.y, s.thresholds, inv_s))
-
-        return jax.vmap(one)(states, temps_eval)
-
-    def _swap(self, states, i):
-        """One even/odd adjacent-pair swap phase (parity = i % 2)."""
-        G, L = self.G, self.L
-        K = G * L
-        lane = jnp.arange(K)
-        l = lane % L
-        parity = jnp.asarray(i % 2, jnp.int32)
-        partner_l = l + 1 - 2 * ((l - parity) % 2)
-        valid = (partner_l >= 0) & (partner_l < L)
-        partner = jnp.where(valid, lane + (partner_l - l), lane)  # (K,)
-
-        ll_own = self._lane_ll(states, self.temps)
-        ll_cross = self._lane_ll(states, self.temps[partner])
-        delta = (ll_cross + ll_cross[partner]) - (ll_own + ll_own[partner])
-
-        pair_lo = jnp.minimum(lane, partner)
-        u = jax.random.uniform(
-            jax.random.fold_in(self.k_swap, i), (K,), self.temps.dtype
-        )
-        accept = valid & (jnp.log(u[pair_lo]) < delta)
-
-        src = jnp.where(accept, partner, lane)
-        swapped = jax.tree_util.tree_map(lambda a: a[src], states)
-        # report each accepted pair once, at its pair-low lane (rung index)
-        return swapped, accept & (partner > lane)
-
-    def _sweep(self, states, i):
-        """One lockstep tempered sweep + (periodic) swap phase."""
-        keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(self.k_run)
-        states, ll = jax.vmap(
-            lambda s, k, t: gibbs_sweep(s, k, self.y, self.consts,
-                                        self.config, t)
-        )(states, keys, self.temps)
-        if self.swap_every > 0:
-            do_swap = (i % self.swap_every) == 0
-            swapped, acc = self._swap(states, i // self.swap_every)
-            states = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(do_swap, b, a), states, swapped
-            )
-            acc = jnp.where(do_swap, acc, False)
-        else:
-            acc = jnp.zeros((self.G * self.L,), bool)
-        return states, ll, acc
-
-    def _record(self, s, ll):
-        """Cold-lane (l = 0) thinned record in internal layout."""
-        cold = jax.tree_util.tree_map(
-            lambda a: a.reshape((self.G, self.L) + a.shape[1:])[:, 0], s
-        )
-        out = {
-            "theta": jax.vmap(
-                lambda i: theta_from_indices(i, self.consts)
-            )(cold.theta_idx),
-            "beta": cold.beta,
-            "threshold": cold.thresholds,
-            "ll": ll.reshape(self.G, self.L)[:, 0],
-        }
-        if self.store_f:
-            out["f"] = cold.f
-        if self.store_fstar:
-            ms = jax.vmap(
-                lambda b: compute_mu_star(self.consts, b)
-            )(cold.beta)
-            out["fstar"] = cold.fstar + ms
-        return out
-
-    # -- compiled drivers -------------------------------------------------
+        fn = _t_init_program(self.config, per_group, self.L)
+        return fn(self.k_init, theta_init, self.thresholds_init, self.y,
+                  self.consts)
 
     def advance(self, states, start, count):
-        fn = self._compiled.get(("advance", count))
-        if fn is None:
-            def run(states, st):
-                def body(carry, j):
-                    s, acc = carry
-                    s, _, a = self._sweep(s, st + j)
-                    return (s, acc + a.astype(jnp.int32)), None
+        fn = _t_advance_program(self.config, count, self.swap_every,
+                                self.G, self.L)
+        return fn(states, self.k_run, self.temps, self.k_swap, start,
+                  self.y, self.consts)
 
-                init = (states, jnp.zeros((self.G * self.L,), jnp.int32))
-                (s, acc), _ = jax.lax.scan(body, init, jnp.arange(count))
-                return s, acc
-
-            fn = jax.jit(run)
-            self._compiled[("advance", count)] = fn
-        return fn(states, start)
-
-    def records(self, states, start_rec, count):
-        fn = self._compiled.get(("records", count))
-        if fn is None:
-            thin, pre = self.thin, self.sched.pre_iterations
-
-            def run(states, r0):
-                def step(carry, r):
-                    s, acc = carry
-                    start = pre + (r0 + r) * thin
-                    s, ll, a = self._sweep(s, start)
-                    acc = acc + a.astype(jnp.int32)
-                    out = self._record(s, ll)
-
-                    def body(c, j):
-                        s2, acc2 = c
-                        s2, _, a2 = self._sweep(s2, start + 1 + j)
-                        return (s2, acc2 + a2.astype(jnp.int32)), None
-
-                    (s, acc), _ = jax.lax.scan(
-                        body, (s, acc), jnp.arange(max(thin - 1, 0))
-                    )
-                    return (s, acc), out
-
-                init = (states, jnp.zeros((self.G * self.L,), jnp.int32))
-                (s, acc), outs = jax.lax.scan(step, init, jnp.arange(count))
-                # (count, G, ...) -> (G, count, ...) to match run_chains
-                outs = jax.tree_util.tree_map(
-                    lambda a: jnp.swapaxes(a, 0, 1), outs
-                )
-                return s, acc, outs
-
-            fn = jax.jit(run)
-            self._compiled[("records", count)] = fn
-        return fn(states, start_rec)
+    def records(self, states, start_rec, count, final=False):
+        fn = _t_records_program(
+            self.config, count, self.thin, self.swap_every, self.G, self.L,
+            self.store_f, self.store_fstar, bool(final) and self.thin > 1,
+        )
+        start0 = self.sched.pre_iterations + start_rec * self.thin
+        return fn(states, self.k_run, self.temps, self.k_swap, start0,
+                  self.y, self.consts)
 
 
 def run_tempered_chains(
@@ -300,9 +356,10 @@ def run_tempered_chains(
     rec = 0
     while rec < progs.sched.n_samples:
         c = min(recs_per_chunk, progs.sched.n_samples - rec)
-        states, acc, outs = progs.records(states, rec, c)
+        final = rec + c == progs.sched.n_samples
+        states, acc, outs = progs.records(states, rec, c, final=final)
         acc_tot += np.asarray(acc)
-        swaps += c * thin
+        swaps += c * thin - (thin - 1 if final and thin > 1 else 0)
         for name, arr in outs.items():
             acc_draws.setdefault(name, []).append(arr)
         rec += c

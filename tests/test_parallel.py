@@ -110,3 +110,67 @@ class TestChunkedChains:
         np.testing.assert_array_equal(np.asarray(a["theta"]), b["theta"])
         np.testing.assert_allclose(np.asarray(a["ll"]), b["ll"], rtol=1e-12)
         np.testing.assert_allclose(np.asarray(a["beta"]), b["beta"], rtol=1e-12)
+
+
+class TestRicherDiagnostics:
+    def test_rank_rhat_iid_near_one(self):
+        from gpirt_tpu.utils.diagnostics import rank_normalized_rhat
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((4, 500, 3))
+        assert np.all(rank_normalized_rhat(x) < 1.02)
+
+    def test_rank_rhat_detects_scale_mismatch(self):
+        """Chains agreeing in mean but not scale: plain split-Rhat is blind
+        (location-based), the folded rank statistic is not — the case the
+        rank-normalized diagnostic exists for (Vehtari et al. 2021)."""
+        from gpirt_tpu.utils.diagnostics import rank_normalized_rhat, split_rhat
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((4, 600, 1))
+        x[2:] *= 4.0  # same mean, 4x the scale
+        assert np.all(split_rhat(x) < 1.05)  # blind
+        assert np.all(rank_normalized_rhat(x) > 1.15)  # caught
+
+    def test_tail_ess_slower_than_bulk_for_sticky_tails(self):
+        from gpirt_tpu.utils.diagnostics import tail_ess, effective_sample_size
+
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((2, 2000, 1))
+        te = tail_ess(x)
+        bulk = effective_sample_size(x)
+        assert 0.2 * bulk[0] < te[0] <= 1.5 * bulk[0]  # iid: same order
+        # AR(1) with heavy persistence only in the tails via a slow regime
+        z = rng.standard_normal((2, 2000, 1))
+        for s in range(1, 2000):
+            z[:, s] = 0.98 * z[:, s - 1] + 0.2 * z[:, s]
+        assert tail_ess(z)[0] < 0.2 * z.shape[1] * 2
+
+    def test_basin_clusters_splits_groups(self):
+        from gpirt_tpu.utils.diagnostics import basin_clusters
+
+        rng = np.random.default_rng(3)
+        base_a = np.linspace(-2, 2, 30)
+        base_b = np.tanh(np.linspace(-2, 2, 30)) * 2.5  # warped variant
+        means = np.stack(
+            [base_a + 0.02 * rng.standard_normal(30) for _ in range(5)]
+            + [base_b + 0.02 * rng.standard_normal(30) for _ in range(3)]
+        )
+        # reflection must not create spurious clusters
+        means[1] *= -1
+        out = basin_clusters(means, corr_threshold=0.995)
+        assert out["n_clusters"] == 2
+        assert sorted(out["sizes"]) == [3, 5]
+        assert (out["labels"][:5] == out["labels"][0]).all()
+        assert (out["labels"][5:] == out["labels"][5]).all()
+        # one basin -> one cluster
+        one = basin_clusters(means[:5], corr_threshold=0.995)
+        assert one["n_clusters"] == 1
+
+    def test_summarize_has_new_keys(self):
+        from gpirt_tpu.utils.diagnostics import summarize
+
+        x = np.random.default_rng(4).standard_normal((2, 200, 2))
+        s = summarize(x)
+        for k in ("ess_tail_min", "rhat_rank_max", "ess_median", "rhat_max"):
+            assert k in s and np.isfinite(s[k])

@@ -372,3 +372,175 @@ class TestThetaExactnessRDM:
             hist = np.bincount(d[:, h], minlength=N) / S
             tv = 0.5 * np.abs(hist - exact[h]).sum()
             assert tv < 0.03, (h, tv)
+
+
+class TestFstarConstantIRF:
+    """Correctness of the 100-inducing-point constant-IRF prediction path
+    (reference src/draw-fstar.cpp:58-125), VERDICT r2: implemented but never
+    executed by any test.
+
+    Exactness construction: with theta placed EXACTLY on the inducing
+    lattice (inducing = linspace(min theta, max theta, p), so p points that
+    coincide with distinct theta values), the linear interpolation is the
+    identity and the Matheron-ized draw reduces to the exact stacked-GP
+    conditional  f* | f  =  K_{*I}(K_II + jitter I)^{-1} f_I  + pathwise
+    residual — checkable in closed form against the master grid Gram.
+    """
+
+    def _setup(self):
+        from gpirt_tpu.models.config import make_constants as mk
+
+        n, m, H, N, p = 3, 4, 2, 61, 6
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, grid_size=N,
+                             dtype="float64", constant_IRF=True,
+                             n_inducing=p, f_method="grid")
+        consts = mk(config, np.zeros((3, m)), np.full((3, m), 1.5),
+                    np.zeros((2, n)), np.zeros((2, n)))
+        # theta values (-5, -3, -1, 1, 3, 5) = linspace(-5, 5, 6) exactly:
+        # grid step 10/60, so indices 0, 12, ..., 60
+        idx = jnp.asarray([[0, 12, 24], [36, 48, 60]], jnp.int32)  # (H, n)
+        rng = np.random.default_rng(3)
+        f = jnp.asarray(rng.standard_normal((H, n, m)))
+        return config, consts, idx, f
+
+    def test_matches_exact_stacked_conditional(self):
+        from gpirt_tpu.models.gibbs import _fstar_constant_irf
+        from gpirt_tpu.ops.kernels import icc_gram_np
+
+        config, consts, idx, f = self._setup()
+        H, n, m = f.shape
+        N, p = config.grid_size, config.n_inducing
+
+        S = 4000
+        draws = jax.vmap(
+            lambda k: _fstar_constant_irf(k, f, idx, consts, config)
+        )(jax.random.split(jax.random.key(0), S))  # (S, H, N, m)
+        d = np.asarray(draws)
+        # all horizons share ONE set of IRFs
+        np.testing.assert_array_equal(d[:, 0], d[:, 1])
+
+        # exact conditional from the grid Gram (f64 host)
+        grid = np.asarray(consts.grid)
+        sds = np.full(3, 1.5)
+        ind_idx = np.asarray([0, 12, 24, 36, 48, 60])
+        K = icc_gram_np(grid, grid, sds)
+        Kj = K + config.jitter * np.eye(N)  # ustar's nugget (L_grid)
+        KII = K[np.ix_(ind_idx, ind_idx)] + config.jitter * np.eye(p)
+        M = K[:, ind_idx] @ np.linalg.inv(KII)  # (N, p)
+        # f at the inducing points in sorted-theta order == flattened f
+        # (theta_all = [-5,-3,-1,1,3,5] is already sorted)
+        f_I = np.asarray(f).reshape(H * n, m)
+        mean_exact = M @ f_I  # (N, m)
+        cov_exact = Kj - M @ Kj[ind_idx] - Kj[:, ind_idx] @ M.T \
+            + M @ Kj[np.ix_(ind_idx, ind_idx)] @ M.T
+        var_exact = np.clip(np.diag(cov_exact), 0, None)
+
+        mean_hat = d[:, 0].mean(axis=0)  # (N, m)
+        se = np.sqrt(var_exact / S)[:, None] + 1e-12
+        zmax = np.abs((mean_hat - mean_exact) / se).max()
+        assert zmax < 5.5, zmax
+        # variance profile (checked where it is not pinned ~0 at theta sites)
+        var_hat = d[:, 0].var(axis=0).mean(axis=1)  # (N,)
+        big = var_exact > 0.05
+        assert np.allclose(var_hat[big], var_exact[big], rtol=0.25), (
+            np.abs(var_hat[big] / var_exact[big] - 1).max()
+        )
+        # at the conditioning sites the draw reproduces f (zero variance up
+        # to the nugget)
+        np.testing.assert_allclose(
+            d[:, 0][:, ind_idx, :].std(axis=0).max(), 0.0, atol=0.01
+        )
+
+    def test_two_stage_constant_irf_end_to_end(self):
+        """The reference's constant-IRF two-stage pipeline runs end to end:
+        stacked (n*H) draw_f ESS (src/draw-f.cpp:84-138) + inducing-point
+        fstar, shared cutpoints across horizons."""
+        rng = np.random.default_rng(5)
+        n, m, H = 16, 14, 2
+        theta = np.linspace(-2, 2, n)
+        disc = rng.uniform(0.8, 2.0, m)
+        p = 1 / (1 + np.exp(-disc[None] * theta[:, None]))
+        y = (rng.random((H, n, m)) < p[None]).astype(np.int32) + 1
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, grid_size=61,
+                             dtype="float64", constant_IRF=True,
+                             n_inducing=20, f_method="two_stage")
+        consts = make_constants(config, **default_priors(n, m))
+        draws = run_chain(
+            jax.random.key(2), jnp.asarray(y),
+            np.broadcast_to(theta[None], (H, n)), binary_thresholds(m, H),
+            consts, config, sample_iterations=150, burn_iterations=50,
+            store_f=True, store_fstar=True,
+        )
+        for k, v in draws.items():
+            a = np.asarray(v)
+            if k == "threshold":
+                a = a[..., 1:-1]  # endpoints are +-inf by construction
+            assert np.all(np.isfinite(a)), k
+        # constant-IRF invariants: one IRF set + one cutpoint vector
+        fs = np.asarray(draws["fstar"])  # (S, H, N, m)
+        np.testing.assert_array_equal(fs[:, 0], fs[:, 1])
+        thr = np.asarray(draws["threshold"])
+        np.testing.assert_array_equal(thr[:, 0], thr[:, 1])
+        # theta still tracks truth at this easy SNR
+        post = np.asarray(draws["theta"]).mean(axis=0)[0]
+        r = np.corrcoef(post, theta)[0, 1]
+        assert abs(r) > 0.8, r
+
+
+class TestCollapsedThreshold:
+    def test_binary_exact_truncnorm(self):
+        """draw_threshold_collapsed at C=2 draws t_1 EXACTLY from N(0,1)
+        truncated to (max z_{y=1}, min z_{y=2}) — checked against the closed
+        form through scipy.stats.truncnorm, including pooling across
+        horizons under constant_IRF and a missing-cell column."""
+        from scipy import stats as st
+        from gpirt_tpu.models.gibbs import draw_threshold_collapsed
+
+        rng = np.random.default_rng(11)
+        n, m, H = 10, 3, 2
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64",
+                             grid_size=41, theta_ls=100.0,
+                             f_method="conjugate")
+        y = rng.integers(1, 3, (H, n, m)).astype(np.int32)
+        y[:, :3, 0] = 0  # missing cells must not constrain the box
+        z = rng.standard_normal((H, n, m))
+        # make z consistent with SOME cutpoint: z_{y=1} < 0 <= z_{y=2}
+        z = np.where(y == 1, -np.abs(z), np.abs(z))
+        thr = np.zeros((H, m, 3))
+        thr[..., 0], thr[..., 1], thr[..., 2] = -np.inf, 0.0, np.inf
+        yj, zj, thrj = jnp.asarray(y), jnp.asarray(z), jnp.asarray(thr)
+
+        S = 6000
+        out = jax.vmap(
+            lambda k: draw_threshold_collapsed(k, thrj, zj, yj, config)
+        )(jax.random.split(jax.random.key(0), S))
+        t1 = np.asarray(out)[:, :, :, 1]  # (S, H, m)
+
+        obs = y > 0
+        lo = np.where((y == 1) & obs, z, -np.inf).max(axis=1)  # (H, m)
+        hi = np.where((y == 2) & obs, z, np.inf).min(axis=1)
+        for h in range(H):
+            for j in range(m):
+                a, b = lo[h, j], hi[h, j]
+                d = st.truncnorm(a, b)
+                ks = st.kstest(t1[:, h, j], d.cdf).statistic
+                assert ks < 0.03, (h, j, ks)
+                assert np.all(t1[:, h, j] >= a) and np.all(t1[:, h, j] < b)
+
+        # constant_IRF pools the box across horizons and shares the vector
+        # constant_IRF box-pooling (the function only reads
+        # config.constant_IRF; conjugate x constant_IRF is rejected by the
+        # config, so the direct-call test uses the grid-resolved config)
+        config_c = GPIRTConfig(n=n, m=m, horizon=H, C=2, dtype="float64",
+                               grid_size=41, theta_ls=100.0,
+                               constant_IRF=True)
+        out_c = jax.vmap(
+            lambda k: draw_threshold_collapsed(k, thrj, zj, yj, config_c)
+        )(jax.random.split(jax.random.key(1), S))
+        t1c = np.asarray(out_c)[:, :, :, 1]
+        np.testing.assert_array_equal(t1c[:, 0], t1c[:, 1])
+        lo_p, hi_p = lo.max(axis=0), hi.min(axis=0)
+        for j in range(m):
+            ks = st.kstest(t1c[:, 0, j],
+                           st.truncnorm(lo_p[j], hi_p[j]).cdf).statistic
+            assert ks < 0.03, (j, ks)

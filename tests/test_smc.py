@@ -99,3 +99,25 @@ def test_non_conjugate_rejected():
     with pytest.raises(NotImplementedError):
         anneal_init(chain_keys(0, 4), y, np.zeros((1, config.n)), thr,
                     consts, bad, n_steps=4, max_temp=4.0)
+
+
+def test_program_cache_not_stale_across_datasets():
+    """Two same-shape datasets must get data-dependent results from the
+    cached SMC programs (VERDICT r2: the old cache keyed on id(y), which
+    recycled ids could alias to a stale compiled program; the data is now a
+    jit argument, so one compiled program serves both correctly)."""
+    config, consts, y_a, thr = _setup(seed=0)
+    _, _, y_b, _ = _setup(seed=123)
+    assert y_a.shape == y_b.shape and not np.array_equal(y_a, y_b)
+    keys = chain_keys(2, 4)
+    ti = np.zeros((1, config.n))
+
+    st_a1, _ = anneal_init(keys, y_a, ti, thr, consts, config,
+                           n_steps=6, max_temp=4.0)
+    st_b, _ = anneal_init(keys, y_b, ti, thr, consts, config,
+                          n_steps=6, max_temp=4.0)
+    st_a2, _ = anneal_init(keys, y_a, ti, thr, consts, config,
+                           n_steps=6, max_temp=4.0)
+    # same data + keys -> bitwise identical; different data -> different
+    np.testing.assert_array_equal(np.asarray(st_a1.f), np.asarray(st_a2.f))
+    assert not np.array_equal(np.asarray(st_a1.f), np.asarray(st_b.f))
