@@ -195,11 +195,10 @@ def gpirt_mcmc(
             "checkpoint_path does not support tempered ensembles (n_temps > "
             "1) yet; run tempering without checkpointing"
         )
-    if mesh is not None and (n_temps > 1 or smc_steps > 0
-                             or checkpoint_path is not None):
+    if mesh is not None and (smc_steps > 0 or checkpoint_path is not None):
         raise ValueError(
-            "mesh is only supported on the plain multi-chain path; tempering/"
-            "SMC/checkpointed runs batch all chains on the current device"
+            "mesh is not supported with SMC or checkpointed runs yet; "
+            "plain multi-chain and tempered runs accept a mesh"
         )
 
     if vote_codes is not None:
@@ -366,7 +365,7 @@ def gpirt_mcmc(
             burn_iterations=burn_iterations,
             thin=THIN, n_temps=n_temps, max_temp=max_temp,
             swap_every=swap_every, store_f=store_f, store_fstar=store_fstar,
-            on_progress=on_progress,
+            on_progress=on_progress, mesh=mesh,
         )
         host = jax.tree_util.tree_map(np.asarray, draws)
         swap_rate = host.pop("swap_rate")

@@ -209,6 +209,32 @@ def draw_f(
 # ---------------------------------------------------------------------------
 
 
+
+def grid_prior_draw(key, consts, config, lead_shape, m, dt):
+    """GP prior draw on the theta* grid via the rank-(q+3) eigenbasis.
+
+    K_grid + jitter I = U_se U_se^T + Psi Psi^T + jitter I to the ~1e-13
+    truncation of consts.U_se (verified against the dense kernel in
+    make_constants' eigendecomposition), so this is distributionally the
+    L_grid @ z draw at N(q+3)m instead of N^2 m MACs — the dense triangular
+    matmul was the single largest flop sink of the conjugate sweep (~53
+    GFLOP at 64 senate116 chains; perf anatomy r2). HIGHEST-precision
+    einsums are affordable at this size, removing the bf16 quantization the
+    dense draw silently carried on TPU.
+    """
+    N = config.grid_size
+    q = consts.U_se.shape[1]
+    k_q, k_p, k_n = jax.random.split(key, 3)
+    hi = jax.lax.Precision.HIGHEST
+    z_q = jax.random.normal(k_q, lead_shape + (q, m), dt)
+    z_p = jax.random.normal(k_p, lead_shape + (3, m), dt)
+    z_n = jax.random.normal(k_n, lead_shape + (N, m), dt)
+    return (jnp.einsum("aq,...qm->...am", consts.U_se, z_q, precision=hi)
+            + jnp.einsum("ap,...pm->...am", consts.Psi_grid, z_p,
+                         precision=hi)
+            + jnp.sqrt(jnp.asarray(config.jitter, dt)) * z_n)
+
+
 def _fstar_matheron(key, f, theta_idx, L, consts, config):
     """Pathwise conditional draw on the grid; see module docstring.
 
@@ -224,9 +250,8 @@ def _fstar_matheron(key, f, theta_idx, L, consts, config):
     sampler.run_chain). Verified by the Geweke joint-distribution test.
     """
     H, n, m = f.shape
-    N = config.grid_size
-    z = jax.random.normal(key, (H, N, m), f.dtype)
-    ustar = jnp.einsum("ab,hbm->ham", consts.L_grid, z)  # prior draws on grid
+    ustar = grid_prior_draw(key, consts, config, (H,), m,
+                            f.dtype)  # prior draws on grid
     u_theta = jnp.take_along_axis(
         ustar, theta_idx[:, :, None].astype(jnp.int32), axis=1
     )  # (H, n, m)
@@ -276,8 +301,8 @@ def _fstar_constant_irf(key, f, theta_idx, consts, config):
     L_ind = chol_with_jitter(K_ind, config.device_jitter, normalized=config.chol_normalized)
     kstar = icc_gram(inducing, consts.grid, sds)  # (p, N)
 
-    z = jax.random.normal(key, (N, m), dt)
-    ustar = consts.L_grid @ z  # shared prior draw on grid (one set of IRFs)
+    ustar = grid_prior_draw(key, consts, config, (), m,
+                            dt)  # shared prior draw on grid (one set of IRFs)
     u_ind = jax.vmap(lambda col: jnp.interp(inducing, consts.grid, col), 1, 1)(ustar)
     V = tri_solve(L_ind, kstar)  # (p, N)
     w = tri_solve(L_ind, f_ind - u_ind)  # (p, m)
@@ -337,8 +362,8 @@ def draw_fstar_direct(
 
     if config.constant_IRF:
         # one shared grid function across horizons: lanes (m,), sites N
-        z = jax.random.normal(k_nu, (N, m), state.fstar.dtype)
-        nu = consts.L_grid @ z  # (N, m)
+        nu = grid_prior_draw(k_nu, consts, config, (), m,
+                             state.fstar.dtype)  # (N, m)
         x = state.fstar[0].T  # (m, N)
 
         def loglik(xt):  # (m, N) -> (m,)
@@ -350,8 +375,8 @@ def draw_fstar_direct(
         x_new = ess_update(k_ess, x, nu.T, loglik, max_rounds=config.ess_max_rounds)
         fstar = jnp.broadcast_to(x_new.T[None], (H, N, m))
     else:
-        z = jax.random.normal(k_nu, (H, N, m), state.fstar.dtype)
-        nu = jnp.einsum("ab,hbm->ham", consts.L_grid, z)  # (H, N, m)
+        nu = grid_prior_draw(k_nu, consts, config, (H,), m,
+                             state.fstar.dtype)  # (H, N, m)
         x = jnp.swapaxes(state.fstar, 1, 2)  # (H, m, N)
         nu_t = jnp.swapaxes(nu, 1, 2)
 
@@ -486,8 +511,10 @@ def draw_fstar_conjugate(
     k_u, k_e = jax.random.split(key)
     sqrt_t, _ = _temp_scales(temp, dt)
 
-    zq = jax.random.normal(k_u, (H, N, m), dt)
-    ustar = jnp.einsum("ab,hbm->ham", consts.L_grid, zq)  # prior grid draws
+    # eigenbasis prior grid draw (see grid_prior_draw) — also MORE
+    # consistent with lowrank_bsolve's truncated-kernel conditional below
+    # than the exact-K L_grid draw was
+    ustar = grid_prior_draw(k_u, consts, config, (H,), m, dt)
     u_theta = jnp.take_along_axis(ustar, idx[:, :, None], axis=1)  # (H, n, m)
     eps = jax.random.normal(k_e, (H, n, m), dt)
     if sqrt_t is not None:

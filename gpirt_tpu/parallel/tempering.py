@@ -37,11 +37,12 @@ R/gpirtMCMC.R:112); cites kept to the sampler blocks being tempered.
 from __future__ import annotations
 
 import functools
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
 from gpirt_tpu.models.gibbs import (
@@ -53,6 +54,11 @@ from gpirt_tpu.models.gibbs import (
 )
 from gpirt_tpu.models.sampler import sample_schedule
 from gpirt_tpu.ops.likelihood import ordinal_ll_terms
+
+try:  # jax>=0.4.35 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 __all__ = ["temperature_ladder", "run_tempered_chains", "TemperedPrograms"]
 
@@ -76,7 +82,7 @@ def _lane_ll(states, temps_eval, y, consts):
     return jax.vmap(one)(states, temps_eval)
 
 
-def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts):
+def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None):
     """One even/odd adjacent-pair swap phase (parity = i % 2).
 
     ``ll_own`` is each lane's own-temperature data ll of the CURRENT state
@@ -84,6 +90,13 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts):
     Returns (swapped_states, post_swap_ll, accepted_pair_low): the returned
     ll corresponds to the post-swap states, so recorded (draw, ll) pairs
     stay consistent on swap-accepting sweeps (ADVICE r2).
+
+    ``axis`` non-None means this runs INSIDE shard_map over whole groups
+    (G here is the per-device group count): swaps are group-local, so the
+    only cross-device coupling is the shared swap-uniform stream — every
+    device draws the full ensemble's uniforms from the replicated k_swap and
+    slices its block, which keeps sharded == unsharded bit-for-bit without
+    any collective.
     """
     K = G * L
     lane = jnp.arange(K)
@@ -97,7 +110,15 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts):
     delta = (ll_cross + ll_cross[partner]) - (ll_own + ll_own[partner])
 
     pair_lo = jnp.minimum(lane, partner)
-    u = jax.random.uniform(jax.random.fold_in(k_swap, i), (K,), temps.dtype)
+    ku = jax.random.fold_in(k_swap, i)
+    if axis is None:
+        u = jax.random.uniform(ku, (K,), temps.dtype)
+    else:
+        n_dev = jax.lax.psum(1, axis)
+        u_full = jax.random.uniform(ku, (K * n_dev,), temps.dtype)
+        u = jax.lax.dynamic_slice(
+            u_full, (jax.lax.axis_index(axis) * K,), (K,)
+        )
     accept = valid & (jnp.log(u[pair_lo]) < delta)
 
     src = jnp.where(accept, partner, lane)
@@ -110,7 +131,7 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts):
 
 
 def _tempered_sweep(states, i, k_run, temps, k_swap, swap_every, G, L,
-                    y, consts, config):
+                    y, consts, config, axis=None):
     """One lockstep tempered sweep + (periodic) swap phase."""
     keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(k_run)
     states, ll = jax.vmap(
@@ -119,7 +140,8 @@ def _tempered_sweep(states, i, k_run, temps, k_swap, swap_every, G, L,
     if swap_every > 0:
         do_swap = (i % swap_every) == 0
         swapped, ll_post, acc = _swap(
-            states, ll, temps, k_swap, i // swap_every, G, L, y, consts
+            states, ll, temps, k_swap, i // swap_every, G, L, y, consts,
+            axis,
         )
         states = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_swap, b, a), states, swapped
@@ -154,6 +176,34 @@ def _cold_record(s, ll, G, L, consts, config, store_f, store_fstar):
     return out
 
 
+
+def _shard_lanewise(fn, mesh, axis, example_out_axes):
+    """Wrap a (states, k_run, temps, k_swap, scalar, y, consts) -> outs
+    program in shard_map over whole groups: lane-carrying inputs/outputs
+    shard on axis 0, everything else replicates. ``example_out_axes`` is a
+    pytree-prefix of out sharded-axis booleans matching fn's outputs."""
+
+    def specs_for(tree, sharded):
+        return jax.tree_util.tree_map(
+            lambda _: P(axis) if sharded else P(), tree
+        )
+
+    def wrapped(states, k_run, temps, k_swap, scalar, y, consts):
+        in_specs = (
+            specs_for(states, True), P(axis), P(axis), P(), P(),
+            specs_for(y, False), specs_for(consts, False),
+        )
+        out_specs = jax.tree_util.tree_map(
+            lambda sh: P(axis) if sh else P(), example_out_axes
+        )
+        return jax.jit(shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        ))(states, k_run, temps, k_swap, scalar, y, consts)
+
+    return wrapped
+
+
 @functools.lru_cache(maxsize=32)
 def _t_init_program(config: GPIRTConfig, per_group_init: bool, L: int):
     def one(key, ti, thr, y, consts):
@@ -165,36 +215,46 @@ def _t_init_program(config: GPIRTConfig, per_group_init: bool, L: int):
 
 @functools.lru_cache(maxsize=32)
 def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
-                       G: int, L: int):
+                       G: int, L: int, mesh: Optional[Mesh] = None,
+                       axis: str = "chains"):
+    ax = None if mesh is None else axis
+    G_loc = G if mesh is None else G // mesh.devices.size
+
     def run(states, k_run, temps, k_swap, start, y, consts):
         def body(carry, j):
             s, acc = carry
             s, _, a = _tempered_sweep(
-                s, start + j, k_run, temps, k_swap, swap_every, G, L,
-                y, consts, config,
+                s, start + j, k_run, temps, k_swap, swap_every, G_loc, L,
+                y, consts, config, ax,
             )
             return (s, acc + a.astype(jnp.int32)), None
 
-        init = (states, jnp.zeros((G * L,), jnp.int32))
+        init = (states, jnp.zeros((G_loc * L,), jnp.int32))
         (s, acc), _ = jax.lax.scan(body, init, jnp.arange(count))
         return s, acc
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+    return _shard_lanewise(run, mesh, axis, (True, True))
 
 
 @functools.lru_cache(maxsize=32)
 def _t_records_program(config: GPIRTConfig, count: int, thin: int,
                        swap_every: int, G: int, L: int,
-                       store_f: bool, store_fstar: bool, final: bool):
+                       store_f: bool, store_fstar: bool, final: bool,
+                       mesh: Optional[Mesh] = None, axis: str = "chains"):
+    ax = None if mesh is None else axis
+    G_loc = G if mesh is None else G // mesh.devices.size
+
     def run(states, k_run, temps, k_swap, start0, y, consts):
         def rec_sweep(carry, start):
             s, acc = carry
             s, ll, a = _tempered_sweep(
-                s, start, k_run, temps, k_swap, swap_every, G, L,
-                y, consts, config,
+                s, start, k_run, temps, k_swap, swap_every, G_loc, L,
+                y, consts, config, ax,
             )
             acc = acc + a.astype(jnp.int32)
-            out = _cold_record(s, ll, G, L, consts, config,
+            out = _cold_record(s, ll, G_loc, L, consts, config,
                                store_f, store_fstar)
             return (s, acc), out
 
@@ -202,8 +262,8 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
             def body(c, j):
                 s2, acc2 = c
                 s2, _, a2 = _tempered_sweep(
-                    s2, start + j, k_run, temps, k_swap, swap_every, G, L,
-                    y, consts, config,
+                    s2, start + j, k_run, temps, k_swap, swap_every, G_loc,
+                    L, y, consts, config, ax,
                 )
                 return (s2, acc2 + a2.astype(jnp.int32)), None
 
@@ -216,7 +276,7 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
             carry = trail(carry, start + 1)
             return carry, out
 
-        init = (states, jnp.zeros((G * L,), jnp.int32))
+        init = (states, jnp.zeros((G_loc * L,), jnp.int32))
         n_full = count - 1 if final else count
         if n_full > 0:
             carry, outs = jax.lax.scan(step, init, jnp.arange(n_full))
@@ -236,7 +296,17 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
         outs = jax.tree_util.tree_map(lambda a: jnp.swapaxes(a, 0, 1), outs)
         return s, acc, outs
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+    # outs carry the group axis first -> sharded like the lanes
+    return _shard_lanewise(
+        run, mesh, axis,
+        (True, True, {k: True for k in (
+            ["theta", "beta", "threshold", "ll"]
+            + (["f"] if store_f else [])
+            + (["fstar"] if store_fstar else [])
+        )}),
+    )
 
 
 class TemperedPrograms:
@@ -249,11 +319,22 @@ class TemperedPrograms:
 
     def __init__(self, keys, y, thresholds_init, consts, config, *,
                  n_temps, max_temp, sample_iterations, burn_iterations,
-                 thin, store_f=False, store_fstar=False, swap_every=1):
+                 thin, store_f=False, store_fstar=False, swap_every=1,
+                 mesh=None, axis="chains"):
         if config.resolved_f_method != "conjugate":
             raise NotImplementedError(
                 "parallel tempering needs f_method='conjugate'"
             )
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            if int(keys.shape[0]) % n_dev != 0:
+                raise ValueError(
+                    f"{int(keys.shape[0])} tempered groups do not divide "
+                    f"over {n_dev} devices (swaps are group-local, so the "
+                    "lane axis shards by whole groups)"
+                )
+        self.mesh = mesh
+        self.axis = axis
         self.y = y
         self.consts = consts
         self.config = config
@@ -288,7 +369,7 @@ class TemperedPrograms:
 
     def advance(self, states, start, count):
         fn = _t_advance_program(self.config, count, self.swap_every,
-                                self.G, self.L)
+                                self.G, self.L, self.mesh, self.axis)
         return fn(states, self.k_run, self.temps, self.k_swap, start,
                   self.y, self.consts)
 
@@ -296,6 +377,7 @@ class TemperedPrograms:
         fn = _t_records_program(
             self.config, count, self.thin, self.swap_every, self.G, self.L,
             self.store_f, self.store_fstar, bool(final) and self.thin > 1,
+            self.mesh, self.axis,
         )
         start0 = self.sched.pre_iterations + start_rec * self.thin
         return fn(states, self.k_run, self.temps, self.k_swap, start0,
@@ -320,14 +402,19 @@ def run_tempered_chains(
     store_fstar: bool = False,
     chunk_iterations: int = 250,
     on_progress=None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
 ) -> Dict[str, jnp.ndarray]:
     """Tempered ensemble run; returns COLD-chain draws (G, S, ...) plus
     ensemble swap diagnostics.
 
     ``len(keys)`` cold chains, each backed by ``n_temps - 1`` hot lanes on a
-    geometric ladder up to ``max_temp``; all G*L lanes advance in lockstep
-    on the current device. Output layout matches run_chains_chunked with a
-    leading (G,) chains axis, plus:
+    geometric ladder up to ``max_temp``; all G*L lanes advance in lockstep.
+    ``mesh`` shards the lane axis by WHOLE groups over devices (swaps are
+    group-local, so sampling needs zero collectives — the only cross-device
+    coupling is the replicated swap-uniform stream, and sharded equals
+    unsharded bit-for-bit). Requires G %% mesh.devices.size == 0. Output
+    layout matches run_chains_chunked with a leading (G,) chains axis, plus:
       * "swap_rate": (L-1,) mean acceptance of adjacent swaps by rung.
     """
     progs = TemperedPrograms(
@@ -335,6 +422,7 @@ def run_tempered_chains(
         n_temps=n_temps, max_temp=max_temp, swap_every=swap_every,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
+        mesh=mesh, axis=axis,
     )
     states = progs.init(theta_init)
     total = progs.total

@@ -48,8 +48,10 @@ def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains,
     blocks["draw_theta"] = mix_subsweeps * H * (
         tr(N * m * (C + 1)) + mm(N, m * C, n) + tr(N * n)
     )
-    # draw_z_truncnorm: 2 erf + 1 ndtri per cell.
-    blocks["draw_z"] = mix_subsweeps * tr(3 * H * n * m)
+    # draw_z_truncnorm: 1 erf (binary fast path) or 2 erf, + 1 ndtri/cell.
+    blocks["draw_z"] = mix_subsweeps * tr(
+        (2 if C == 2 else 3) * H * n * m
+    )
     # affine moves = shift orbit-Gibbs (one (n,n) chol + one fused A-solve of
     # m + 3J rhs + J rank-3 contractions, J = 4W + 1) + dilation MH rounds
     # (each a full _z_marginal_parts eval: chol + A-solves of m + 3 rhs).
@@ -60,10 +62,12 @@ def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains,
     blocks["affine_moves"] = orbit + (
         (affine_rounds + 1) * per_eval if affine_rounds else 0.0
     )
-    # draw_fstar_conjugate: ustar = L_grid @ z (N^2 m), woodbury_solve
-    # (5 n^2 m + small), kstar contraction (n N m) + rank-3 pieces.
+    # draw_fstar_conjugate: eigenbasis ustar (N(q+3)m, q=32; replaced the
+    # dense L_grid N^2 m matmul in r3), rank-(q+3) capacitance solves
+    # (~4 n (q+3) m), kstar contraction (n N m) + rank-3 pieces.
+    q3 = 35
     blocks["draw_fstar"] = mix_subsweeps * H * (
-        mm(N, N, m) + (mm(n, n, n) / 6 + 5 * mm(n, n, 3) + 5 * mm(n, n, m))
+        mm(N, q3, m) + 4 * mm(n, q3, m)
         + mm(n, N, m) + tr(2 * n * m)
     )
     # draw_beta_conjugate: Gram + rhs + 3x3 solves per (H, m).

@@ -18,9 +18,26 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at test-module boundaries.
+
+    The full suite compiles many hundreds of XLA CPU programs in one
+    process; past ~120 tests the process intermittently segfaults inside
+    ``backend_compile_and_load`` (observed twice at different positions,
+    always late in the run — an accumulation failure, not a specific
+    program). Modules rarely share compiled shapes, so dropping the pjit
+    cache between files bounds live-executable count at a small recompile
+    cost.
+    """
+    yield
+    jax.clear_caches()

@@ -191,9 +191,9 @@ class TestRecoverFstar:
         )
         d = out[0]
         m_kept = d["beta"].shape[2]
-        from gpirt_tpu.utils.response import as_response_matrix
-        rm = np.asarray(as_response_matrix(
-            y, {"yea": 1, "nay": 0, "missing": None}, verbose=False))
+        from gpirt_tpu.utils.response import recode_cube
+        rm = recode_cube(y, {"yea": 1, "nay": 0, "missing": None},
+                         verbose=False)
         rec = recover_fstar(
             7, d["f"][-1], rm, d["theta"][-1], d["beta"][-1],
             d["threshold"][-1], constant_IRF=1, dtype="float64",
@@ -279,7 +279,14 @@ class TestOptionValidation:
         with pytest.raises(ValueError, match="mesh"):
             self._call(mesh=mesh, smc_steps=8)
         with pytest.raises(ValueError, match="mesh"):
-            self._call(mesh=mesh, n_temps=2)
+            self._call(mesh=mesh, checkpoint_path="/tmp/x")
+
+    def test_mesh_plus_tempering_runs(self):
+        # tempered ensembles shard by group over the mesh (group-local swaps)
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
+        out = self._call(CHAIN=8, n_temps=2, max_temp=4.0, mesh=mesh)
+        assert len(out) == 8
+        assert np.isfinite(out[0]["ll"]).all()
 
     def test_smc_plus_checkpoint_composes(self, tmp_path):
         """SMC annealed init + resumable checkpointed sampling now compose:

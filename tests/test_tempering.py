@@ -123,3 +123,41 @@ def test_single_temp_matches_untempered_semantics():
     assert d["theta"].shape == (2, 20, 1, config.n)
     assert bool(np.isfinite(np.asarray(d["theta"])).all())
     assert bool(np.isfinite(np.asarray(d["ll"])).all())
+
+
+def test_mesh_sharded_matches_unsharded():
+    """Tempered ensembles shard by WHOLE groups over the device mesh
+    (ROADMAP r2 item 5): swaps are group-local and the swap-uniform stream
+    is replicated, so the sharded run must equal the single-device run to
+    reduction-order rounding — with zero collectives during sampling."""
+    import jax
+    from jax.sharding import Mesh
+    from gpirt_tpu.parallel.tempering import run_tempered_chains
+    from gpirt_tpu.parallel.chains import chain_keys
+
+    config, consts, y, thr = _setup()
+    keys = chain_keys(3, 8)  # G=8 groups over 8 devices
+    kw = dict(sample_iterations=6, burn_iterations=2, thin=1,
+              n_temps=2, max_temp=4.0, swap_every=1)
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    a = run_tempered_chains(keys, y, np.zeros((1, config.n)), thr, consts,
+                            config, **kw)
+    b = run_tempered_chains(keys, y, np.zeros((1, config.n)), thr, consts,
+                            config, mesh=mesh, **kw)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-9, atol=1e-9, err_msg=k)
+
+
+def test_mesh_indivisible_groups_rejected():
+    import jax
+    from jax.sharding import Mesh
+    from gpirt_tpu.parallel.tempering import run_tempered_chains
+    from gpirt_tpu.parallel.chains import chain_keys
+
+    config, consts, y, thr = _setup()
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    with pytest.raises(ValueError, match="divide"):
+        run_tempered_chains(chain_keys(0, 6), y, np.zeros((1, config.n)),
+                            thr, consts, config, sample_iterations=2,
+                            burn_iterations=0, n_temps=2, mesh=mesh)
