@@ -57,12 +57,24 @@ def annealing_schedule(n_steps: int, max_temp: float) -> np.ndarray:
     return max_temp ** (1.0 - np.arange(n_steps) / (n_steps - 1))
 
 
+_WARM_STEPS = 8
+
+
 @functools.lru_cache(maxsize=32)
 def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
               sweeps_per_step: int, ess_threshold: float,
               per_chain_init: bool):
-    """Compiled (init, warm, run, final_resample), keyed on statics only;
-    the dataset, constants and keys are jit arguments."""
+    """Compiled (init, run, final_resample), keyed on statics only; the
+    dataset, constants and keys are jit arguments.
+
+    The T_max warm phase rides INSIDE run's annealing scan as
+    ``_WARM_STEPS`` prologue entries with t_prev == t_new == T_max: the
+    likelihood-ratio reweight is exactly zero (XLA CSEs the two identical
+    _lane_ll calls into one), uniform weights keep ESS == K so no resample
+    triggers, and the mutation sweeps at temps[0] are precisely the old
+    warm loop. This halves the number of gibbs_sweep-bearing programs —
+    in this image every fresh process pays minutes of remote compile per
+    such program, and warm's compile bought nothing run's couldn't."""
     temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
 
     def _lane_ll(states, t, y, consts):
@@ -81,20 +93,6 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             lambda k, t: init_state(k, t, thresholds_init, y, consts, config),
             in_axes=(0, init_axis),
         )(k_init, theta_init)
-
-    @jax.jit
-    def warm(states, k_run, y, consts):
-        def body(s, j):
-            kk = jax.vmap(
-                lambda k: jax.random.fold_in(
-                    jax.random.fold_in(k, n_steps + 7), j)
-            )(k_run)
-            s, _ = jax.vmap(
-                lambda cs, k: gibbs_sweep(cs, k, y, consts, config, temps[0])
-            )(s, kk)
-            return s, ()
-        s, _ = jax.lax.scan(body, states, jnp.arange(8))
-        return s
 
     @jax.jit
     def run(states, k_run, k_res, y, consts):
@@ -126,11 +124,21 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
                 )(s, kk)
             return (s, logw), (ess_w, do)
 
-        xs = (jnp.arange(1, n_steps, dtype=jnp.int32), temps[:-1], temps[1:])
+        # warm prologue: step ids n_steps+1.. (disjoint from the annealing
+        # ids 1..n_steps-1 and final_resample's n_steps+1 resample fold —
+        # which only touches k_res, not k_run) at constant T_max
+        warm_i = n_steps + 1 + jnp.arange(_WARM_STEPS, dtype=jnp.int32)
+        tmax = jnp.full((_WARM_STEPS,), temps[0], temps.dtype)
+        xs = (
+            jnp.concatenate([warm_i,
+                             jnp.arange(1, n_steps, dtype=jnp.int32)]),
+            jnp.concatenate([tmax, temps[:-1]]),
+            jnp.concatenate([tmax, temps[1:]]),
+        )
         (s, logw), (ess_trace, resampled) = jax.lax.scan(
             step, (states, jnp.zeros(K, config.jdtype)), xs
         )
-        return s, logw, ess_trace, resampled
+        return s, logw, ess_trace[_WARM_STEPS:], resampled[_WARM_STEPS:]
 
     @jax.jit
     def final_resample(states, logw, k_res):
@@ -141,7 +149,7 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
         idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
         return jax.tree_util.tree_map(lambda a: a[idx], states), w
 
-    return init, warm, run, final_resample
+    return init, run, final_resample
 
 
 def anneal_init(
@@ -168,7 +176,7 @@ def anneal_init(
         raise NotImplementedError("anneal_init needs f_method='conjugate'")
     K = int(keys.shape[0])
     theta_init = jnp.asarray(theta_init, config.jdtype)
-    init, warm, run, final_resample = _programs(
+    init, run, final_resample = _programs(
         config, K, n_steps, float(max_temp), sweeps_per_step,
         float(ess_threshold), theta_init.ndim == 3,
     )
@@ -177,7 +185,6 @@ def anneal_init(
 
     states = init(k_init, theta_init,
                   jnp.asarray(thresholds_init, config.jdtype), y, consts)
-    states = warm(states, k_run, y, consts)
     states, logw, ess_trace, resampled = run(states, k_run, k_res, y, consts)
     states, w_final = final_resample(states, logw, k_res)
     w_final = np.asarray(w_final)

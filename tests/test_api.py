@@ -369,3 +369,28 @@ class TestLabelPropagation:
                          vote_codes={"yea": 1, "nay": 0, "missing": None},
                          dtype="float64", verbose=False)
         assert "respondents" not in out[0] and "items" not in out[0]
+
+
+class TestVerboseConvergenceSummary:
+    def test_summary_printed_multichain(self, capfd):
+        _, y = simulate_2pl(3, n=12, m=6)
+        gpirt_mcmc(
+            y, 10, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            CHAIN=2, SEED=2, dtype="float64", verbose=True,
+        )
+        err = capfd.readouterr().err
+        assert "theta ESS min/median" in err
+        assert "split R-hat max" in err
+
+    def test_no_summary_single_chain_or_quiet(self, capfd):
+        _, y = simulate_2pl(3, n=12, m=6)
+        gpirt_mcmc(
+            y, 10, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            CHAIN=1, SEED=2, dtype="float64", verbose=True,
+        )
+        assert "theta ESS min/median" not in capfd.readouterr().err
+        gpirt_mcmc(
+            y, 10, 0, vote_codes={"yea": 1, "nay": 0, "missing": None},
+            CHAIN=2, SEED=2, dtype="float64", verbose=False,
+        )
+        assert "theta ESS min/median" not in capfd.readouterr().err
