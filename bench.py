@@ -50,7 +50,7 @@ def _log(msg):
 
 def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
                   f_method="auto", smc_steps=192, smc_max_temp=64.0,
-                  threshold_method="auto"):
+                  threshold_method="auto", threshold_ess_every=4):
     """senate116 binary GP-IRT: n_chains vmapped chains on one chip.
 
     Default pipeline: SMC annealed initialization (parallel/smc.py — the
@@ -83,7 +83,8 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
 
     dtype = "float32"
     config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype=dtype, jitter=1e-4,
-                         f_method=f_method, threshold_method=threshold_method)
+                         f_method=f_method, threshold_method=threshold_method,
+                         threshold_ess_every=threshold_ess_every)
     consts = make_constants(
         config,
         beta_prior_means=np.zeros((3, m)),
@@ -488,9 +489,11 @@ def main():
     ap.add_argument("--smc-steps", type=int, default=192,
                     help="SMC annealed-init steps (0 disables)")
     ap.add_argument("--threshold-method", default="auto",
-                    choices=["auto", "ess", "collapsed"],
+                    choices=["auto", "ess", "collapsed", "interleave"],
                     help="cutpoint update (A/B: collapsed z-box draw vs "
-                         "y-marginal delta ESS)")
+                         "y-marginal delta ESS vs their interleave)")
+    ap.add_argument("--threshold-ess-every", type=int, default=4,
+                    help="interleave period k (marginal ESS on i %% k == 0)")
     args = ap.parse_args()
     repo_root = os.path.dirname(os.path.abspath(__file__))
 
@@ -502,7 +505,8 @@ def main():
         return
 
     res = run_tpu_bench(f_method=args.f_method, smc_steps=args.smc_steps,
-                        threshold_method=args.threshold_method)
+                        threshold_method=args.threshold_method,
+                        threshold_ess_every=args.threshold_ess_every)
     _log("tpu bench done; measuring native baseline")
     baseline_sec_per_iter = measure_native_baseline(repo_root)
     baseline_ess = measure_baseline_ess(repo_root)

@@ -124,6 +124,7 @@ def gpirt_mcmc(
     theta_method: str = "grid",
     f_method: str = "auto",
     threshold_method: str = "auto",
+    threshold_ess_every: int = 4,
     mix_subsweeps: int = 1,
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
@@ -195,10 +196,10 @@ def gpirt_mcmc(
             "checkpoint_path does not support tempered ensembles (n_temps > "
             "1) yet; run tempering without checkpointing"
         )
-    if mesh is not None and (smc_steps > 0 or checkpoint_path is not None):
+    if mesh is not None and checkpoint_path is not None:
         raise ValueError(
-            "mesh is not supported with SMC or checkpointed runs yet; "
-            "plain multi-chain and tempered runs accept a mesh"
+            "mesh is not supported with checkpointed runs yet; plain "
+            "multi-chain, SMC-initialized, and tempered runs accept a mesh"
         )
 
     if vote_codes is not None:
@@ -260,6 +261,7 @@ def gpirt_mcmc(
         theta_method=theta_method,
         f_method=f_method,
         threshold_method=threshold_method,
+        threshold_ess_every=threshold_ess_every,
         mix_subsweeps=mix_subsweeps,
         jitter=jitter if jitter is not None else (1e-6 if dtype == "float64" else 1e-5),
     )
@@ -386,19 +388,29 @@ def gpirt_mcmc(
         keys = chain_keys(SEED, CHAIN)
         states, info = anneal_init(
             keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
-            n_steps=smc_steps, max_temp=smc_max_temp,
+            n_steps=smc_steps, max_temp=smc_max_temp, mesh=mesh,
         )
         if verbose:
             print(f"[gpirt] SMC init: {smc_steps} steps from T={smc_max_temp}, "
                   f"{info['n_resamples']} resamples, final weight-ESS "
                   f"{info['final_weight_ess']:.1f}/{CHAIN}", file=sys.stderr)
-        draws = run_chains_chunked(
-            keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
-            sample_iterations=sample_iterations,
-            burn_iterations=burn_iterations,
-            thin=THIN, store_f=store_f, store_fstar=store_fstar,
-            initial_states=states, chunk_iterations=chunk_iterations,
-        )
+        if mesh is not None:
+            from gpirt_tpu.parallel.chains import run_chains
+            draws = run_chains(
+                keys, jnp.asarray(y), th_inits, thresholds_init, consts,
+                config, sample_iterations=sample_iterations,
+                burn_iterations=burn_iterations,
+                thin=THIN, store_f=store_f, store_fstar=store_fstar,
+                mesh=mesh, initial_states=states,
+            )
+        else:
+            draws = run_chains_chunked(
+                keys, jnp.asarray(y), th_inits, thresholds_init, consts,
+                config, sample_iterations=sample_iterations,
+                burn_iterations=burn_iterations,
+                thin=THIN, store_f=store_f, store_fstar=store_fstar,
+                initial_states=states, chunk_iterations=chunk_iterations,
+            )
         host = jax.tree_util.tree_map(np.asarray, draws)
         return _with_labels([
             _to_reference_layout({k: v[c] for k, v in host.items()})

@@ -50,7 +50,15 @@ class GPIRTConfig:
     # (exact draw given the Albert-Chib latents z — box constraints from the
     # z order statistics, no erf table; conjugate path only; faster per
     # sweep but measured to slow theta mixing via the t<->f soft mode) |
+    # "interleave" (collapsed most sweeps, y-marginal ESS every
+    # threshold_ess_every-th; measured on-chip at k=2/k=4: the periodic
+    # marginal move does NOT recover theta mixing — one collapsed draw
+    # re-anchors the cutpoints to the z box, so both arms lose to pure
+    # "ess" on ess/sec; RESULTS.md threshold A/B) |
     # "auto" (the measured winner — see resolved_threshold_method)
+    threshold_ess_every: int = 4  # interleave period k: the y-marginal ESS
+    # cutpoint update runs on iterations with i % k == 0, the collapsed
+    # exact draw otherwise (used only by threshold_method="interleave")
     # Collective affine MH moves on (theta, beta) with f* collapsed
     # (conjugate path only — they need the Albert-Chib z-marginal). These
     # traverse the global location/scale soft modes that dominate theta
@@ -111,16 +119,22 @@ class GPIRTConfig:
                 "f_method='conjugate' does not support constant_IRF yet; "
                 "use 'grid' or 'two_stage'"
             )
-        if self.threshold_method not in ("auto", "ess", "collapsed"):
+        if self.threshold_method not in ("auto", "ess", "collapsed",
+                                         "interleave"):
             raise ValueError(
-                "threshold_method must be 'auto', 'ess' or 'collapsed', "
-                f"got {self.threshold_method!r}"
+                "threshold_method must be 'auto', 'ess', 'collapsed' or "
+                f"'interleave', got {self.threshold_method!r}"
             )
-        if (self.threshold_method == "collapsed"
+        if (self.threshold_method in ("collapsed", "interleave")
                 and self.resolved_f_method != "conjugate"):
             raise ValueError(
-                "threshold_method='collapsed' needs the Albert-Chib latents "
-                "(f_method='conjugate')"
+                f"threshold_method={self.threshold_method!r} needs the "
+                "Albert-Chib latents (f_method='conjugate')"
+            )
+        if self.threshold_ess_every < 1:
+            raise ValueError(
+                "threshold_ess_every must be >= 1, "
+                f"got {self.threshold_ess_every}"
             )
         if self.fstar_method not in ("matheron", "chol"):
             raise ValueError(

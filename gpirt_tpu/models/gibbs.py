@@ -1575,6 +1575,7 @@ def gibbs_sweep(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     temp=None,
+    iteration=None,
 ) -> Tuple[GPIRTState, jnp.ndarray]:
     """One full Gibbs iteration. Returns (new_state, total log-likelihood).
 
@@ -1588,6 +1589,12 @@ def gibbs_sweep(
     likelihood family behind parallel tempering (parallel/tempering.py);
     supported on the conjugate path only. The returned ll is the lane's OWN
     tempered log-likelihood (its convergence trace).
+
+    ``iteration`` (absolute sweep index, traced or static; None = 0) only
+    matters under threshold_method="interleave", where it selects which
+    sweeps run the y-marginal ESS cutpoint update (i % threshold_ess_every
+    == 0) vs the collapsed draw. It deliberately does NOT enter the key
+    schedule — callers already fold the iteration into ``key``.
     """
     if temp is not None and config.resolved_f_method != "conjugate":
         raise NotImplementedError(
@@ -1642,12 +1649,28 @@ def gibbs_sweep(
         beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config, temp)
         state = state._replace(beta=beta)
 
-        # cutpoints: collapsed exact draw given z (default) or the
-        # reference's z-marginal ESS — then the ll trace
+        # cutpoints: the reference's y-marginal ESS (default), the collapsed
+        # exact draw given z, or their interleave — then the ll trace
         mu = compute_mu(theta, beta)
-        if config.resolved_threshold_method == "collapsed":
+        t_method = config.resolved_threshold_method
+        if t_method == "collapsed":
             thresholds = draw_threshold_collapsed(
                 k_t, state.thresholds, z, y, config
+            )
+        elif t_method == "interleave":
+            # cyclic kernel: both components leave the target invariant, so
+            # any deterministic schedule does too. The periodic y-marginal
+            # ESS move lets the cutpoints travel beyond the O(1/n)
+            # order-statistic box the collapsed draw anchors them to.
+            it = 0 if iteration is None else iteration
+            marg_f, marg_mu = state.f, mu
+            thresholds = jax.lax.cond(
+                (it % config.threshold_ess_every) == 0,
+                lambda: draw_threshold(k_t, state.thresholds, marg_f, marg_mu,
+                                       y, config, temp),
+                lambda: draw_threshold_collapsed(
+                    k_t, state.thresholds, z, y, config
+                ),
             )
         else:
             thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y,

@@ -86,6 +86,7 @@ def run_chain(
     thin: int = 1,
     store_f: bool = False,
     store_fstar: bool = False,
+    initial_state=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run one MCMC chain; returns a dict of stacked draws.
 
@@ -94,6 +95,11 @@ def run_chain(
     analog of the reference's deterministic per-iteration reseeding
     (src/gpirtMCMC.cpp:267).
 
+    ``initial_state`` (a GPIRTState) skips the prior init — e.g. resuming
+    from an SMC-annealed ensemble member. The key schedule is unchanged
+    (k_init is split but unused) so a given (key, iteration) always maps to
+    the same sweep randomness with or without a supplied state.
+
     Returns:
       dict with "theta" (S, H, n), "beta" (S, H, 3, m),
       "threshold" (S, H, m, C+1), "ll" (S,), and optionally "f" (S, H, n, m)
@@ -101,10 +107,15 @@ def run_chain(
     """
     sched = sample_schedule(sample_iterations, burn_iterations, thin)
     k_init, k_run = jax.random.split(key)
-    state = init_state(k_init, theta_init, thresholds_init, y, consts, config)
+    if initial_state is None:
+        state = init_state(k_init, theta_init, thresholds_init, y, consts,
+                           config)
+    else:
+        state = initial_state
 
     def sweep(state, it):
-        return gibbs_sweep(state, jax.random.fold_in(k_run, it), y, consts, config)
+        return gibbs_sweep(state, jax.random.fold_in(k_run, it), y, consts,
+                           config, iteration=it)
 
     def advance(state, start, count):
         if count <= 0:

@@ -66,6 +66,7 @@ def run_chains(
     store_fstar: bool = False,
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
+    initial_states=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run ``len(keys)`` chains; returns draws with a leading chains axis.
 
@@ -73,6 +74,8 @@ def run_chains(
     over ``mesh`` when given (len(keys) must divide by mesh size). Chain k's
     stochasticity comes entirely from ``keys[k]`` (initial values are drawn
     from the priors per chain, like the reference's per-chain set.seed).
+    ``initial_states`` (a lane-stacked GPIRTState, e.g. an SMC-annealed
+    ensemble) skips the prior init; with a mesh it shards like the lanes.
     """
     from gpirt_tpu.models.sampler import run_chain
 
@@ -84,32 +87,39 @@ def run_chains(
     init_axis = 0 if per_chain_init else None
     init_spec = P(axis) if per_chain_init else P()
 
-    def one_chain(key, y, theta_init, thresholds_init, consts):
+    def one_chain(key, y, theta_init, thresholds_init, consts, state0):
         return run_chain(
             key, y, theta_init, thresholds_init, consts, config,
             sample_iterations=sample_iterations,
             burn_iterations=burn_iterations,
             thin=thin, store_f=store_f, store_fstar=store_fstar,
+            initial_state=state0,
         )
 
-    vmapped = jax.vmap(one_chain, in_axes=(0, None, init_axis, None, None))
+    state_axis = None if initial_states is None else 0
+    vmapped = jax.vmap(one_chain,
+                       in_axes=(0, None, init_axis, None, None, state_axis))
 
     if mesh is None:
-        return jax.jit(vmapped)(keys, y, theta_init, thresholds_init, consts)
+        return jax.jit(vmapped)(keys, y, theta_init, thresholds_init, consts,
+                                initial_states)
 
     if n_chains % mesh.devices.size != 0:
         raise ValueError(
             f"{n_chains} chains do not divide evenly over {mesh.devices.size} devices"
         )
 
+    # tree_map over None yields None — the matching empty spec subtree
+    state_spec = jax.tree_util.tree_map(lambda _: P(axis), initial_states)
     sharded = shard_map(
         vmapped,
         mesh=mesh,
-        in_specs=(P(axis), P(), init_spec, P(), P()),
+        in_specs=(P(axis), P(), init_spec, P(), P(), state_spec),
         out_specs=P(axis),
         check_vma=False,
     )
-    return jax.jit(sharded)(keys, y, theta_init, thresholds_init, consts)
+    return jax.jit(sharded)(keys, y, theta_init, thresholds_init, consts,
+                            initial_states)
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +155,8 @@ def _advance_program(config: GPIRTConfig, count: int):
     def one(s, kr, start, y, consts):
         def body(carry, j):
             carry, _ = gibbs_sweep(
-                carry, jax.random.fold_in(kr, start + j), y, consts, config
+                carry, jax.random.fold_in(kr, start + j), y, consts, config,
+                iteration=start + j,
             )
             return carry, None
 
@@ -189,7 +200,8 @@ def _records_program(config: GPIRTConfig, count: int, thin: int,
     def one(s, kr, start0, y, consts):
         def rec_sweep(carry, start):
             carry, ll = gibbs_sweep(
-                carry, jax.random.fold_in(kr, start), y, consts, config
+                carry, jax.random.fold_in(kr, start), y, consts, config,
+                iteration=start,
             )
             return carry, _record_draw(carry, ll, consts, config,
                                        store_f, store_fstar)
@@ -197,7 +209,8 @@ def _records_program(config: GPIRTConfig, count: int, thin: int,
         def trail(carry, start):
             def body(c, j):
                 c, _ = gibbs_sweep(
-                    c, jax.random.fold_in(kr, start + j), y, consts, config
+                    c, jax.random.fold_in(kr, start + j), y, consts, config,
+                    iteration=start + j,
                 )
                 return c, None
 

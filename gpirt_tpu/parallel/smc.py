@@ -63,7 +63,7 @@ _WARM_STEPS = 8
 @functools.lru_cache(maxsize=32)
 def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
               sweeps_per_step: int, ess_threshold: float,
-              per_chain_init: bool):
+              per_chain_init: bool, mesh=None, axis: str = "chains"):
     """Compiled (init, run, final_resample), keyed on statics only; the
     dataset, constants and keys are jit arguments.
 
@@ -74,8 +74,48 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
     triggers, and the mutation sweeps at temps[0] are precisely the old
     warm loop. This halves the number of gibbs_sweep-bearing programs —
     in this image every fresh process pays minutes of remote compile per
-    such program, and warm's compile bought nothing run's couldn't."""
+    such program, and warm's compile bought nothing run's couldn't.
+
+    ``mesh`` shards the chain axis over devices. Mutation and reweight are
+    per-lane (embarrassingly parallel); only resampling is global. All
+    weight math (logsumexp, ESS, cumsum, searchsorted) runs on the
+    all-gathered FULL (K,) weight vector identically on every device — K
+    scalars, so the gather is free and, unlike psum-of-partials, keeps the
+    reduction order identical to the single-device program. The residual
+    sharded-vs-unsharded difference is machine epsilon carried in from the
+    lane states (the mutation sweeps compile at local batch K/n_dev, so
+    XLA fuses them differently; measured ~2e-14 relative), which the
+    identical-order weight math then preserves rather than amplifies.
+    State exchange is one tiled all_gather of the lane
+    pytree per step (~K x state bytes over ICI; a resample-gated variant
+    could skip it on no-resample steps, but collectives under lax.cond
+    constrain layouts and the measured cost at bench scale is ~ms)."""
     temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
+    n_dev = 1 if mesh is None else mesh.devices.size
+    K_loc = K // n_dev
+    ax = None if mesh is None else axis
+
+    def _gather_vec(x):  # (K_loc,) -> (K,) in device order
+        if ax is None:
+            return x
+        return jax.lax.all_gather(x, ax, tiled=True)
+
+    def _local_slice(full):  # (K,) -> (K_loc,) this device's block
+        if ax is None:
+            return full
+        i0 = jax.lax.axis_index(ax) * K_loc
+        return jax.lax.dynamic_slice_in_dim(full, i0, K_loc)
+
+    def _take_global(states, src_full):
+        """states[src] where src indexes GLOBAL lanes: gather the full lane
+        pytree, then keep this device's block of targets."""
+        src = _local_slice(src_full)
+        if ax is None:
+            return jax.tree_util.tree_map(lambda a: a[src], states)
+        full = jax.tree_util.tree_map(
+            lambda a: jax.lax.all_gather(a, ax, tiled=True), states
+        )
+        return jax.tree_util.tree_map(lambda a: a[src], full)
 
     def _lane_ll(states, t, y, consts):
         def one(s):
@@ -85,16 +125,18 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
                                             1.0 / jnp.sqrt(t)))
         return jax.vmap(one)(states)
 
+    def _systematic_src(w_full, u):
+        pos = (jnp.arange(K, dtype=w_full.dtype) + u) / K
+        return jnp.clip(jnp.searchsorted(jnp.cumsum(w_full), pos), 0, K - 1)
+
     init_axis = 0 if per_chain_init else None
 
-    @jax.jit
     def init(k_init, theta_init, thresholds_init, y, consts):
         return jax.vmap(
             lambda k, t: init_state(k, t, thresholds_init, y, consts, config),
             in_axes=(0, init_axis),
         )(k_init, theta_init)
 
-    @jax.jit
     def run(states, k_run, k_res, y, consts):
         def step(carry, xs):
             s, logw = carry
@@ -104,15 +146,15 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             logw = logw + _lane_ll(s, t_new, y, consts) \
                 - _lane_ll(s, t_prev, y, consts)
             # 2) resample (systematic) when weight ESS < threshold*K
-            lw = logw - jax.scipy.special.logsumexp(logw)
+            logw_full = _gather_vec(logw)
+            lw = logw_full - jax.scipy.special.logsumexp(logw_full)
             w = jnp.exp(lw)
             ess_w = 1.0 / jnp.sum(w * w)
             u = jax.random.uniform(jax.random.fold_in(k_res, i), ())
-            pos = (jnp.arange(K, dtype=w.dtype) + u) / K
-            idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
+            idx = _systematic_src(w, u)
             do = ess_w < ess_threshold * K
             src = jnp.where(do, idx, jnp.arange(K))
-            s = jax.tree_util.tree_map(lambda a: a[src], s)
+            s = _take_global(s, src)
             logw = jnp.where(do, jnp.zeros_like(logw), logw)
             # 3) mutate: tempered sweeps at t_new
             for r in range(sweeps_per_step):
@@ -120,13 +162,15 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
                     lambda k: jax.random.fold_in(jax.random.fold_in(k, i), r)
                 )(k_run)
                 s, _ = jax.vmap(
-                    lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new)
+                    lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new,
+                                              iteration=i)
                 )(s, kk)
             return (s, logw), (ess_w, do)
 
-        # warm prologue: step ids n_steps+1.. (disjoint from the annealing
-        # ids 1..n_steps-1 and final_resample's n_steps+1 resample fold —
-        # which only touches k_res, not k_run) at constant T_max
+        # warm prologue: step ids n_steps+1.. at constant T_max (disjoint
+        # from the annealing ids 1..n_steps-1; warm's k_res fold at
+        # n_steps+1 collides with final_resample's, harmlessly — warm
+        # weights are uniform so its resample-u is drawn and discarded)
         warm_i = n_steps + 1 + jnp.arange(_WARM_STEPS, dtype=jnp.int32)
         tmax = jnp.full((_WARM_STEPS,), temps[0], temps.dtype)
         xs = (
@@ -136,20 +180,60 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             jnp.concatenate([tmax, temps[1:]]),
         )
         (s, logw), (ess_trace, resampled) = jax.lax.scan(
-            step, (states, jnp.zeros(K, config.jdtype)), xs
+            step, (states, jnp.zeros(K_loc, config.jdtype)), xs
         )
         return s, logw, ess_trace[_WARM_STEPS:], resampled[_WARM_STEPS:]
 
-    @jax.jit
     def final_resample(states, logw, k_res):
-        lw = logw - jax.scipy.special.logsumexp(logw)
+        logw_full = _gather_vec(logw)
+        lw = logw_full - jax.scipy.special.logsumexp(logw_full)
         w = jnp.exp(lw)
         u = jax.random.uniform(jax.random.fold_in(k_res, n_steps + 1), ())
-        pos = (jnp.arange(K, dtype=w.dtype) + u) / K
-        idx = jnp.clip(jnp.searchsorted(jnp.cumsum(w), pos), 0, K - 1)
-        return jax.tree_util.tree_map(lambda a: a[idx], states), w
+        idx = _systematic_src(w, u)
+        return _take_global(states, idx), w
 
-    return init, run, final_resample
+    if mesh is None:
+        return jax.jit(init), jax.jit(run), jax.jit(final_resample)
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    def spec(tree, sharded):
+        return jax.tree_util.tree_map(
+            lambda _: P(axis) if sharded else P(), tree
+        )
+
+    def sharded_init(k_init, theta_init, thresholds_init, y, consts):
+        fn = shard_map(
+            init, mesh=mesh,
+            in_specs=(P(axis), spec(theta_init, per_chain_init), P(),
+                      spec(y, False), spec(consts, False)),
+            out_specs=P(axis), check_vma=False,
+        )
+        return jax.jit(fn)(k_init, theta_init, thresholds_init, y, consts)
+
+    def sharded_run(states, k_run, k_res, y, consts):
+        fn = shard_map(
+            run, mesh=mesh,
+            in_specs=(spec(states, True), P(axis), P(),
+                      spec(y, False), spec(consts, False)),
+            # ess/resample traces are computed identically on every device
+            out_specs=(P(axis), P(axis), P(), P()), check_vma=False,
+        )
+        return jax.jit(fn)(states, k_run, k_res, y, consts)
+
+    def sharded_final(states, logw, k_res):
+        fn = shard_map(
+            final_resample, mesh=mesh,
+            in_specs=(spec(states, True), P(axis), P()),
+            out_specs=(P(axis), P()), check_vma=False,
+        )
+        return jax.jit(fn)(states, logw, k_res)
+
+    return sharded_init, sharded_run, sharded_final
 
 
 def anneal_init(
@@ -164,21 +248,34 @@ def anneal_init(
     max_temp: float = 64.0,
     sweeps_per_step: int = 1,
     ess_threshold: float = 0.5,
+    mesh=None,
+    axis: str = "chains",
 ):
     """Anneal K chains from T=max_temp to T=1. Returns (states, info).
 
     ``states`` is the lane-stacked GPIRTState pytree at T = 1 (feed it to
-    run_chains_chunked(initial_states=...)). ``info`` carries the weight-ESS
-    trace and resample count. Requires the conjugate path (the tempered
-    family).
+    run_chains_chunked(initial_states=...), or run_chains(mesh=...) when
+    annealed over a mesh). ``info`` carries the weight-ESS trace and
+    resample count. Requires the conjugate path (the tempered family).
+
+    ``mesh`` shards the chain axis over devices: mutation/reweight are
+    lane-local, resampling all-gathers the K-scalar weight vector (and,
+    on resample steps, the lane states) so every device computes the same
+    global systematic-resampling indices — the sharded run matches the
+    unsharded run to reduction-order rounding (see _programs). K must
+    divide by mesh.devices.size.
     """
     if config.resolved_f_method != "conjugate":
         raise NotImplementedError("anneal_init needs f_method='conjugate'")
     K = int(keys.shape[0])
+    if mesh is not None and K % mesh.devices.size != 0:
+        raise ValueError(
+            f"{K} chains do not divide over {mesh.devices.size} devices"
+        )
     theta_init = jnp.asarray(theta_init, config.jdtype)
     init, run, final_resample = _programs(
         config, K, n_steps, float(max_temp), sweeps_per_step,
-        float(ess_threshold), theta_init.ndim == 3,
+        float(ess_threshold), theta_init.ndim == 3, mesh, axis,
     )
     lane = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
     k_init, k_run, k_res = lane[:, 0], lane[:, 1], lane[0, 2]

@@ -135,7 +135,7 @@ def _tempered_sweep(states, i, k_run, temps, k_swap, swap_every, G, L,
     """One lockstep tempered sweep + (periodic) swap phase."""
     keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(k_run)
     states, ll = jax.vmap(
-        lambda s, k, t: gibbs_sweep(s, k, y, consts, config, t)
+        lambda s, k, t: gibbs_sweep(s, k, y, consts, config, t, iteration=i)
     )(states, keys, temps)
     if swap_every > 0:
         do_swap = (i % swap_every) == 0

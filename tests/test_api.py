@@ -274,12 +274,18 @@ class TestOptionValidation:
         with pytest.raises(ValueError, match="tempered"):
             self._call(checkpoint_path=str(tmp_path / "ck"), n_temps=4)
 
-    def test_mesh_plus_modes_raises(self):
+    def test_mesh_plus_checkpoint_raises(self):
         mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("chains",))
         with pytest.raises(ValueError, match="mesh"):
-            self._call(mesh=mesh, smc_steps=8)
-        with pytest.raises(ValueError, match="mesh"):
             self._call(mesh=mesh, checkpoint_path="/tmp/x")
+
+    def test_mesh_plus_smc_runs(self):
+        # SMC anneals over the mesh, then run_chains(mesh=...) continues
+        # from the sharded ensemble
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
+        out = self._call(CHAIN=8, smc_steps=6, mesh=mesh)
+        assert len(out) == 8
+        assert np.isfinite(out[0]["ll"]).all()
 
     def test_mesh_plus_tempering_runs(self):
         # tempered ensembles shard by group over the mesh (group-local swaps)

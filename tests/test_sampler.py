@@ -544,3 +544,77 @@ class TestCollapsedThreshold:
             ks = st.kstest(t1c[:, 0, j],
                            st.truncnorm(lo_p[j], hi_p[j]).cdf).statistic
             assert ks < 0.03, (j, ks)
+
+
+class TestInterleavedThreshold:
+    """threshold_method='interleave': a deterministic cyclic schedule of the
+    two validated cutpoint kernels (y-marginal ESS on iterations with
+    i % k == 0, collapsed z-box draw otherwise). Each component is
+    distribution-tested on its own (the binary Geweke oracle for collapsed,
+    the C=3 oracles + scalar-reference tests for the ESS update), and any
+    deterministic schedule of invariant kernels is invariant — so the test
+    burden here is the DISPATCH: the interleave sweep must reproduce the
+    pure-method sweep bitwise on both phases of the cycle."""
+
+    def _mk(self, threshold_method, k=3):
+        n, m = 12, 5
+        config = GPIRTConfig(n=n, m=m, C=2, dtype="float64", grid_size=41,
+                             f_method="conjugate",
+                             threshold_method=threshold_method,
+                             threshold_ess_every=k)
+        consts = make_constants(config, **default_priors(n, m))
+        _, y = sim_2pl(3, n=n, m=m, missing=0.1)
+        thr = binary_thresholds(m)
+        state = init_state(jax.random.key(2), np.linspace(-2, 2, n)[None],
+                           thr, jnp.asarray(y), consts, config)
+        return config, consts, jnp.asarray(y), state
+
+    def test_dispatch_matches_components(self):
+        config_i, consts, y, state = self._mk("interleave", k=3)
+        config_e, _, _, _ = self._mk("ess")
+        config_c, _, _, _ = self._mk("collapsed")
+        key = jax.random.key(9)
+
+        def thr_of(cfg, it):
+            out, _ = jax.jit(
+                lambda s: gibbs_sweep(s, key, y, consts, cfg, iteration=it)
+            )(state)
+            return np.asarray(out.thresholds)
+
+        t_ess, t_col = thr_of(config_e, 0), thr_of(config_c, 0)
+        # the two kernels produce grossly different draws here, so matching
+        # one of them identifies which branch ran
+        fin = np.isfinite(t_ess)
+        assert np.abs(t_ess[fin] - t_col[fin]).max() > 1e-3
+        for it in range(4):
+            want = t_ess if it % 3 == 0 else t_col
+            np.testing.assert_allclose(thr_of(config_i, it), want,
+                                       rtol=1e-10, atol=1e-12,
+                                       err_msg=f"iteration {it}")
+
+    def test_traced_iteration_in_scan(self):
+        """The interleave runs under lax.scan with a traced iteration index
+        (the chunked-driver shape) and stays finite."""
+        config, consts, y, state = self._mk("interleave", k=2)
+        key = jax.random.key(4)
+
+        def body(s, it):
+            s, ll = gibbs_sweep(s, jax.random.fold_in(key, it), y, consts,
+                                config, iteration=it)
+            return s, ll
+
+        _, lls = jax.jit(
+            lambda s: jax.lax.scan(body, s, jnp.arange(6))
+        )(state)
+        assert np.isfinite(np.asarray(lls)).all()
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="interleave"):
+            GPIRTConfig(n=4, m=3, f_method="grid",
+                        threshold_method="interleave")
+        with pytest.raises(ValueError, match="threshold_ess_every"):
+            GPIRTConfig(n=4, m=3, f_method="conjugate",
+                        threshold_method="interleave", threshold_ess_every=0)
+        cfg = GPIRTConfig(n=4, m=3, f_method="conjugate",
+                          threshold_method="interleave")
+        assert cfg.resolved_threshold_method == "interleave"

@@ -121,3 +121,46 @@ def test_program_cache_not_stale_across_datasets():
     # same data + keys -> bitwise identical; different data -> different
     np.testing.assert_array_equal(np.asarray(st_a1.f), np.asarray(st_a2.f))
     assert not np.array_equal(np.asarray(st_a1.f), np.asarray(st_b.f))
+
+
+def test_mesh_sharded_matches_unsharded():
+    """Sharded SMC must reproduce single-device SMC to reduction-order
+    rounding: the weight math runs on the all-gathered full (K,) vector in
+    the same reduction order on every device (see _programs), but the lane
+    lls feeding it come from lane states that drift at machine epsilon
+    (the mutation sweeps compile at local batch K/n_dev vs K, so XLA
+    fuses them differently — measured ~2e-14 relative here), so states,
+    weight-ESS trace, and resample count all match to tolerance, and the
+    discrete resample/ancestor choices coincide at this seed (theta_idx
+    exactly equal)."""
+    import jax
+    from jax.sharding import Mesh
+
+    config, consts, y, thr = _setup()
+    keys = chain_keys(5, 8)
+    kw = dict(n_steps=12, max_temp=16.0)
+    st_a, info_a = anneal_init(keys, y, np.zeros((1, config.n)), thr,
+                               consts, config, **kw)
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    st_b, info_b = anneal_init(keys, y, np.zeros((1, config.n)), thr,
+                               consts, config, mesh=mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(st_a.theta_idx),
+                                  np.asarray(st_b.theta_idx))
+    for a, b in zip(jax.tree_util.tree_leaves(st_a),
+                    jax.tree_util.tree_leaves(st_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(info_a["weight_ess"], info_b["weight_ess"],
+                               rtol=1e-9)
+    assert info_a["n_resamples"] == info_b["n_resamples"]
+
+
+def test_mesh_indivisible_chains_rejected():
+    import jax
+    from jax.sharding import Mesh
+
+    config, consts, y, thr = _setup()
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    with pytest.raises(ValueError, match="divide"):
+        anneal_init(chain_keys(0, 6), y, np.zeros((1, config.n)), thr,
+                    consts, config, n_steps=4, mesh=mesh)
