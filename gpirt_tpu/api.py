@@ -28,11 +28,9 @@ from gpirt_tpu.models.gibbs import (
     GPIRTState,
     draw_f as _draw_f_block,
     draw_fstar as _draw_fstar_block,
-    combined_theta_chol,
     compute_mu,
     compute_mu_star,
     snap_indices,
-    theta_chol,
 )
 from gpirt_tpu.models.sampler import sample_schedule, memory_estimate_mb
 from gpirt_tpu.utils.response import (
@@ -667,14 +665,8 @@ def _recover_one(key, f_j, theta_j, beta_j, thr_j, y_j, consts, config):
                         config.jdtype),
     )
     k_f, k_fs = jax.random.split(key)
-    L = None
-    L_combined = None
-    if config.constant_IRF:
-        L_combined = combined_theta_chol(theta_idx, consts, config)
-    else:
-        L = theta_chol(theta_idx, consts, config)
-    f_new = _draw_f_block(k_f, state, L, L_combined, mu, y_j, config)
-    fstar = _draw_fstar_block(k_fs, f_new, theta_idx, L, consts, config)
+    f_new = _draw_f_block(k_f, state, mu, y_j, consts, config)
+    fstar = _draw_fstar_block(k_fs, f_new, theta_idx, consts, config)
     # returned IRF latent includes the parametric mean, like the reference
     # (src/draw-fstar.cpp:52; linear mean per its 2-column X quirk).
     # constant_IRF shares the slice-0 mean across horizons — same convention

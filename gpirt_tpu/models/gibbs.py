@@ -156,10 +156,9 @@ def total_loglik(state: GPIRTState, y: jnp.ndarray, consts: GPIRTConstants) -> j
 def draw_f(
     key: jax.Array,
     state: GPIRTState,
-    L: jnp.ndarray,
-    L_combined: Optional[jnp.ndarray],
     mu: jnp.ndarray,
     y: jnp.ndarray,
+    consts: GPIRTConstants,
     config: GPIRTConfig,
 ) -> jnp.ndarray:
     """ESS redraw of f for every item (all horizons at once).
@@ -167,12 +166,16 @@ def draw_f(
     Non-constant IRFs: lanes are (H, m) with site dimension n, prior
     N(0, K(theta_h, theta_h) + jitter I).
     Constant IRFs: lanes are (m,) with site dimension n*H over the stacked GP.
+    Prior perturbations come from the gathered eigenbasis
+    (theta_prior_perturbation) — no per-iteration (n, n) or (nH, nH)
+    Cholesky (the reference factors K_theta every sweep for exactly this
+    draw, src/draw-f.cpp:59).
     """
     H, n, m = state.f.shape
     k_nu, k_ess = jax.random.split(key)
     if not config.constant_IRF:
-        z = jax.random.normal(k_nu, (H, n, m), state.f.dtype)
-        nu = jnp.einsum("hij,hjm->him", L, z)
+        nu = theta_prior_perturbation(k_nu, state.theta_idx, consts, config,
+                                      m, state.f.dtype)  # (H, n, m)
         x = jnp.swapaxes(state.f, 1, 2)  # (H, m, n)
         nu_t = jnp.swapaxes(nu, 1, 2)
         # hoist the per-observation cutpoint gathers out of the shrink loop
@@ -185,10 +188,12 @@ def draw_f(
         x_new = ess_update(k_ess, x, nu_t, loglik, max_rounds=config.ess_max_rounds)
         return jnp.swapaxes(x_new, 1, 2)
 
-    # constant IRF: stack horizons into one (n*H)-dimensional GP
+    # constant IRF: stack horizons into one (n*H)-dimensional GP (the
+    # eigenbasis gather at the flat [h*n + i] indices IS the stacked-GP
+    # factor the reference builds densely, src/draw-f.cpp:84-108)
     nh = n * H
-    z = jax.random.normal(k_nu, (nh, m), state.f.dtype)
-    nu = L_combined @ z  # (nh, m)
+    nu = theta_prior_perturbation(k_nu, state.theta_idx.reshape(-1), consts,
+                                  config, m, state.f.dtype)  # (nh, m)
     f_flat = state.f.reshape(nh, m)
     mu_flat = mu.reshape(nh, m)
     y_flat = y.reshape(nh, m)
@@ -235,7 +240,34 @@ def grid_prior_draw(key, consts, config, lead_shape, m, dt):
             + jnp.sqrt(jnp.asarray(config.jitter, dt)) * z_n)
 
 
-def _fstar_matheron(key, f, theta_idx, L, consts, config):
+def theta_site_basis(theta_idx: jnp.ndarray, consts: GPIRTConstants):
+    """Gathered low-rank basis U with U U^T = K(theta, theta) to the
+    ~1e-13 eigendecomposition truncation of consts.U_se: rows of
+    [U_se, Psi_grid] at the snapped grid indices. Any index shape
+    (..., n) -> (..., n, q+3)."""
+    return jnp.concatenate(
+        [consts.U_se[theta_idx], consts.Psi_grid[theta_idx]], axis=-1
+    )
+
+
+def theta_prior_perturbation(key, theta_idx, consts, config, m, dt):
+    """N(0, K(theta, theta) + device_jitter I) draw at the snapped theta
+    sites via the gathered eigenbasis — the site-space twin of
+    grid_prior_draw. Replaces the chol(K_theta) / L @ z pattern (the
+    reference's prior perturbation for its ESS f updates,
+    src/draw-f.cpp:59-66) at O(n(q+3)m) instead of O(n^3 + n^2 m), with
+    no (n, n) factorization. theta_idx (..., n) -> (..., n, m)."""
+    U = theta_site_basis(theta_idx, consts)  # (..., n, k)
+    k = U.shape[-1]
+    lead, n = theta_idx.shape[:-1], theta_idx.shape[-1]
+    k_u, k_n = jax.random.split(key)
+    z_u = jax.random.normal(k_u, lead + (k, m), dt)
+    z_n = jax.random.normal(k_n, lead + (n, m), dt)
+    return (jnp.einsum("...nk,...km->...nm", U, z_u, precision=_HI)
+            + jnp.sqrt(jnp.asarray(config.device_jitter, dt)) * z_n)
+
+
+def _fstar_matheron(key, f, theta_idx, consts, config):
     """Pathwise conditional draw on the grid; see module docstring.
 
     Returns the ZERO-MEAN GP conditional f* | f. Note a deliberate divergence
@@ -248,17 +280,44 @@ def _fstar_matheron(key, f, theta_idx, L, consts, config):
     zero-mean internally and add the mean exactly once at each use site; the
     *returned* fstar draws add mu_star back for output parity (see
     sampler.run_chain). Verified by the Geweke joint-distribution test.
+
+    The smoother k*^T (K_nn + jI)^{-1} r runs entirely in the rank-(q+3)
+    eigenbasis via the push-through identity
+        U_n^T (U_n U_n^T + jI)^{-1} = (U_n^T U_n + jI)^{-1} U_n^T,
+    with k* = U_n U_N^T (exact: both Grams are gathers of the SAME master
+    eigenbasis) — so the whole conditional is gathers + small matmuls + one
+    (q+3, q+3) Cholesky. This replaced the (n, n) theta Cholesky + the
+    O(n^2 N) triangular solve of the dense Matheron (the reference pays
+    chol(K_theta) every iteration, src/draw-fstar.cpp:28-39); conditioning
+    is IDENTICAL to the dense solve (same K_nn + jI spectrum), handled the
+    same way as lowrank_bsolve: equilibrated capacitance + one refinement.
     """
     H, n, m = f.shape
+    dt = f.dtype
     ustar = grid_prior_draw(key, consts, config, (H,), m,
-                            f.dtype)  # prior draws on grid
+                            dt)  # prior draws on grid
     u_theta = jnp.take_along_axis(
         ustar, theta_idx[:, :, None].astype(jnp.int32), axis=1
     )  # (H, n, m)
-    kstar = consts.grid_gram[theta_idx]  # (H, n, N)
-    V = tri_solve(L, kstar)  # (H, n, N)
-    w = tri_solve(L, f - u_theta)  # (H, n, m)
-    return ustar + jnp.einsum("hna,hnm->ham", V, w)
+    U = theta_site_basis(theta_idx, consts)  # (H, n, k)
+    k = U.shape[-1]
+    g = jnp.einsum("hnk,hnm->hkm", U, f - u_theta, precision=_HI)
+    j = jnp.asarray(config.device_jitter, dt)
+    C = j * jnp.eye(k, dtype=dt) + jnp.einsum(
+        "hnk,hnl->hkl", U, U, precision=_HI
+    )
+    sc = jnp.sqrt(jnp.diagonal(C, axis1=-2, axis2=-1))  # (H, k)
+    inv_sc = 1.0 / sc
+    Lc = jnp.linalg.cholesky(C * (inv_sc[..., :, None] * inv_sc[..., None, :]))
+
+    def c_solve(rhs):
+        w = tri_solve(Lc, rhs * inv_sc[..., None])
+        return tri_solve(Lc, w, trans=True) * inv_sc[..., None]
+
+    x = c_solve(g)
+    x = x + c_solve(g - jnp.einsum("hkl,hlm->hkm", C, x, precision=_HI))
+    U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)  # (N, k)
+    return ustar + jnp.einsum("ak,hkm->ham", U_grid, x, precision=_HI)
 
 
 def _fstar_chol(key, f, theta_idx, L, consts, config):
@@ -314,16 +373,18 @@ def draw_fstar(
     key: jax.Array,
     f: jnp.ndarray,
     theta_idx: jnp.ndarray,
-    L: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
 ) -> jnp.ndarray:
     """Zero-mean GP conditional draw of f* | f on the grid. Add mu_star at
-    the use site (theta likelihood) or output boundary (stored draws)."""
+    the use site (theta likelihood) or output boundary (stored draws).
+    Only the opt-in reference-style "chol" method still factors the (n, n)
+    theta Gram; the default Matheron path is fully low-rank."""
     if config.constant_IRF:
         return _fstar_constant_irf(key, f, theta_idx, consts, config)
     if config.fstar_method == "matheron":
-        return _fstar_matheron(key, f, theta_idx, L, consts, config)
+        return _fstar_matheron(key, f, theta_idx, consts, config)
+    L = theta_chol(theta_idx, consts, config)
     return _fstar_chol(key, f, theta_idx, L, consts, config)
 
 
@@ -1539,20 +1600,14 @@ def init_state(
         z_b = jax.random.normal(k_beta, (1, 3, m), dt)
         beta = consts.beta_prior_means + z_b * consts.beta_prior_sds
         beta = jnp.broadcast_to(beta, (H, 3, m))
-        L_comb = combined_theta_chol(theta_idx, consts, config)
         # one GP draw shared across horizons (src/gpirtMCMC.cpp:189-194):
         # the reference draws an n-dim prior sample and tiles it.
-        L0 = theta_chol(theta_idx[:1], consts, config)[0]
-        z_f = jax.random.normal(k_f, (n, m), dt)
-        f0 = L0 @ z_f
+        f0 = theta_prior_perturbation(k_f, theta_idx[0], consts, config, m, dt)
         f = jnp.broadcast_to(f0[None], (H, n, m))
-        del L_comb
     else:
         z_b = jax.random.normal(k_beta, (H, 3, m), dt)
         beta = consts.beta_prior_means[None] + z_b * consts.beta_prior_sds[None]
-        L = theta_chol(theta_idx, consts, config)
-        z_f = jax.random.normal(k_f, (H, n, m), dt)
-        f = jnp.einsum("hij,hjm->him", L, z_f)
+        f = theta_prior_perturbation(k_f, theta_idx, consts, config, m, dt)
 
     thresholds = jnp.asarray(thresholds_init, dt)
     state = GPIRTState(
@@ -1563,8 +1618,7 @@ def init_state(
         fstar=jnp.zeros((H, config.grid_size, m), dt),
     )
     # initial fstar draw before the loop (src/gpirtMCMC.cpp:227)
-    L = theta_chol(theta_idx, consts, config)
-    fstar = draw_fstar(k_fstar, f, theta_idx, L, consts, config)
+    fstar = draw_fstar(k_fstar, f, theta_idx, consts, config)
     return state._replace(fstar=fstar)
 
 
@@ -1697,27 +1751,17 @@ def gibbs_sweep(
     else:  # "two_stage": the reference pipeline
         theta = theta_from_indices(state.theta_idx, consts)
         mu = compute_mu(theta, state.beta)
-        L = None
-        L_combined = None
-        if config.constant_IRF:
-            L_combined = combined_theta_chol(state.theta_idx, consts, config)
-        else:
-            L = theta_chol(state.theta_idx, consts, config)
 
-        # 1. f
-        f = draw_f(k_f, state, L, L_combined, mu, y, config)
+        # 1. f (eigenbasis prior perturbations — no per-sweep factorization)
+        f = draw_f(k_f, state, mu, y, consts, config)
         state = state._replace(f=f)
 
         # 2-4. (f* | f) -> (theta | f*) -> f := f*(theta)
         for s in range(config.mix_subsweeps):
             k_fs_s = jax.random.fold_in(k_fs, s)
             k_th_s = jax.random.fold_in(k_th, s)
-            if config.constant_IRF or L is None:
-                L_s = L
-            else:
-                # L depends on theta; recompute after the first snap moved it
-                L_s = L if s == 0 else theta_chol(state.theta_idx, consts, config)
-            fstar = draw_fstar(k_fs_s, state.f, state.theta_idx, L_s, consts, config)
+            fstar = draw_fstar(k_fs_s, state.f, state.theta_idx, consts,
+                               config)
             state = state._replace(fstar=fstar)
             theta_idx = draw_theta(k_th_s, state, mu_star, y, consts, config)
             f = jnp.take_along_axis(fstar, theta_idx[:, :, None], axis=1)

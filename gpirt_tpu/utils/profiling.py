@@ -51,8 +51,6 @@ def profile_sweep(
     theta = G.theta_from_indices(state.theta_idx, consts)
     mu = G.compute_mu(theta, state.beta)
     mu_star = G.compute_mu_star(consts, state.beta)
-    L = None if config.constant_IRF else G.theta_chol(state.theta_idx, consts, config)
-    Lc = G.combined_theta_chol(state.theta_idx, consts, config) if config.constant_IRF else None
     jax.block_until_ready((mu, mu_star))
 
     out = {}
@@ -60,18 +58,12 @@ def profile_sweep(
         lambda s, i: G.gibbs_sweep(s, jax.random.fold_in(key, i), y, consts, config)[0],
         state, reps,
     )
-    if not config.constant_IRF:
-        out["theta_chol"] = device_time(
-            lambda c, i: G.theta_chol(state.theta_idx, consts, config)[:, :1, :1] * 0 + c,
-            jnp.zeros((state.f.shape[0], 1, 1), config.jdtype),
-            reps,
-        )
     out["draw_f"] = device_time(
-        lambda f, i: G.draw_f(jax.random.fold_in(key, i), state._replace(f=f), L, Lc, mu, y, config),
+        lambda f, i: G.draw_f(jax.random.fold_in(key, i), state._replace(f=f), mu, y, consts, config),
         state.f, reps,
     )
     out["draw_fstar"] = device_time(
-        lambda fs, i: G.draw_fstar(jax.random.fold_in(key, i), state.f, state.theta_idx, L, consts, config),
+        lambda fs, i: G.draw_fstar(jax.random.fold_in(key, i), state.f, state.theta_idx, consts, config),
         state.fstar, reps,
     )
     out["draw_theta"] = device_time(

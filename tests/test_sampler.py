@@ -199,8 +199,12 @@ class TestEndToEnd:
         S = 3000
         keys = jax.random.split(jax.random.key(1), S)
         outs = {}
-        for name, fn in (("matheron", _fstar_matheron), ("chol", _fstar_chol)):
-            draws = jax.vmap(lambda k: fn(k, f, idx, L, consts, config))(keys)
+        fns = {
+            "matheron": lambda k: _fstar_matheron(k, f, idx, consts, config),
+            "chol": lambda k: _fstar_chol(k, f, idx, L, consts, config),
+        }
+        for name, fn in fns.items():
+            draws = jax.vmap(fn)(keys)
             outs[name] = np.asarray(draws[:, 0])  # (S, N, m)
         a, b = outs["matheron"], outs["chol"]
         mean_scale = np.abs(b.mean(0)).max() + 1.0
