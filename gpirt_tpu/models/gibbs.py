@@ -584,19 +584,21 @@ def draw_fstar_conjugate(
     alpha, _ = lowrank_bsolve(
         idx, consts, z_resid - u_theta - eps, temp=temp
     )  # B^{-1} rhs via the rank-(q+3) capacitance — no (n, n) work
-    # K_{*theta} alpha through the SAME rank-3 split: the raw contraction
-    # multiplies ~theta^4-sized kernel entries against alpha and cancels down
-    # to O(1) — measured error 400 vs true 16 under TPU bf16-default matmuls,
-    # and still ~10 under f32 without the split. K_SE entries are <= 1 and
-    # the polynomial part factors through 3-vectors; both contractions run at
-    # HIGHEST (true f32) precision — together ~6e7 MACs, negligible.
+    # K_{*theta} alpha through the gathered eigenbasis: K = U U^T (U =
+    # [U_se, Psi] rows of the master grid basis, exact to the ~1e-10
+    # eigendecomposition truncation lowrank_bsolve already works in), so
+    # K_{*theta} alpha = U_grid (U_theta^T alpha). vs the previous
+    # grid_gram_se[idx] route this deletes the (H, n, N) row gather and the
+    # (N, n) x (n, m) contraction (the block's HBM sink — measured 4.0 ->
+    # 2.4 ms at 64 senate116 chains) for two rank-(q+3) matmuls. The rank-3
+    # polynomial part still factors through the same basis, keeping the
+    # bf16-cancellation failure mode out (raw K entries are ~theta^4;
+    # basis entries are O(1)); HIGHEST (true f32) precision throughout.
     hi = jax.lax.Precision.HIGHEST
-    kstar_se = consts.grid_gram_se[idx]  # (H, n, N), entries <= 1
-    psi_theta = consts.Psi_grid[idx]  # (H, n, 3)
-    pa = jnp.einsum("hnp,hnm->hpm", psi_theta, alpha, precision=hi)  # (H,3,m)
-    fstar = (ustar
-             + jnp.einsum("hna,hnm->ham", kstar_se, alpha, precision=hi)
-             + jnp.einsum("ap,hpm->ham", consts.Psi_grid, pa, precision=hi))
+    U_theta = theta_site_basis(idx, consts)  # (H, n, q+3)
+    ua = jnp.einsum("hnk,hnm->hkm", U_theta, alpha, precision=hi)
+    U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)  # (N, q+3)
+    fstar = ustar + jnp.einsum("ak,hkm->ham", U_grid, ua, precision=hi)
     f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
     return fstar, f
 
