@@ -15,6 +15,7 @@ sequential R loop (R/gpirtMCMC.R:112).
 
 from __future__ import annotations
 
+import functools as _functools
 import sys
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -633,7 +634,7 @@ def recover_fstar(
     )
 
     dt = config.jdtype
-    fstar = _recover_one(
+    fstar = _recover_program(config)(
         jax.random.key(seed),
         jnp.asarray(f_int, dt),
         jnp.asarray(theta_int, dt),
@@ -641,9 +642,23 @@ def recover_fstar(
         jnp.asarray(thr, dt),
         jnp.asarray(y),
         consts,
-        config,
     )
     return {"fstar": np.moveaxis(np.asarray(fstar), 0, 2)}
+
+
+@_functools.lru_cache(maxsize=32)
+def _recover_program(config: GPIRTConfig):
+    """One compiled draw_f + draw_fstar pass, shared across recover_fstar
+    calls with the same config + shapes. Eager per-op dispatch through a
+    tunneled TPU runtime cost ~40 s per call at a 10k grid; compiled it is
+    one device execution (data/constants are jit arguments, so same-shape
+    calls with different draws reuse the executable)."""
+
+    def one(key, f_j, theta_j, beta_j, thr_j, y_j, consts):
+        return _recover_one(key, f_j, theta_j, beta_j, thr_j, y_j, consts,
+                            config)
+
+    return jax.jit(one)
 
 
 def _recover_one(key, f_j, theta_j, beta_j, thr_j, y_j, consts, config):
