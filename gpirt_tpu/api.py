@@ -125,6 +125,7 @@ def gpirt_mcmc(
     threshold_method: str = "auto",
     threshold_ess_every: int = 4,
     mix_subsweeps: int = 1,
+    prng_impl: str = "auto",
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     checkpoint_path: Optional[str] = None,
@@ -152,7 +153,11 @@ def gpirt_mcmc(
 
     TPU-specific keywords: ``dtype`` (float32 on TPU; float64 for CPU parity
     runs), ``fstar_method`` ("matheron" fast path / "chol" reference-style),
-    ``mesh`` to spread chains over devices.
+    ``mesh`` to spread chains over devices, ``prng_impl`` ("auto" = the
+    TPU-native rbg bit generator on TPU, threefry elsewhere; pass
+    "threefry2x32" for a bit stream that is stable across JAX/XLA versions
+    — either way a fixed SEED reproduces the run on a fixed build, the
+    reference's seeded-reproducibility contract, src/gpirtMCMC.cpp:267).
 
     ``n_temps > 1`` runs each chain as a parallel-tempering group:
     ``n_temps - 1`` hot lanes on a geometric ladder up to ``max_temp``
@@ -262,6 +267,7 @@ def gpirt_mcmc(
         threshold_method=threshold_method,
         threshold_ess_every=threshold_ess_every,
         mix_subsweeps=mix_subsweeps,
+        prng_impl=prng_impl,
         jitter=jitter if jitter is not None else (1e-6 if dtype == "float64" else 1e-5),
     )
     consts = _cached_constants(
@@ -320,7 +326,7 @@ def gpirt_mcmc(
                       f"({100.0 * done / total:.0f}%)", file=sys.stderr)
 
         mgr = CheckpointManager(f"{checkpoint_path}.npz")
-        keys = chain_keys(SEED, CHAIN)
+        keys = chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl)
         initial_states = None
         if smc_steps > 0 and not mgr.exists():
             # SMC annealed init composes with checkpointing: the annealed
@@ -362,7 +368,7 @@ def gpirt_mcmc(
                       f"({100.0 * done / total:.0f}%)", file=sys.stderr)
 
         draws = run_tempered_chains(
-            chain_keys(SEED, CHAIN), jnp.asarray(y), th_inits,
+            chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl), jnp.asarray(y), th_inits,
             thresholds_init, consts, config,
             sample_iterations=sample_iterations,
             burn_iterations=burn_iterations,
@@ -384,7 +390,7 @@ def gpirt_mcmc(
         from gpirt_tpu.parallel.chains import chain_keys, run_chains_chunked
         from gpirt_tpu.parallel.smc import anneal_init
 
-        keys = chain_keys(SEED, CHAIN)
+        keys = chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl)
         states, info = anneal_init(
             keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
             n_steps=smc_steps, max_temp=smc_max_temp, mesh=mesh,
@@ -433,7 +439,7 @@ def gpirt_mcmc(
                       f"({100.0 * done / total:.0f}%)", file=sys.stderr)
 
         draws = run_chains_chunked(
-            chain_keys(SEED, CHAIN), jnp.asarray(y), th_inits,
+            chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl), jnp.asarray(y), th_inits,
             thresholds_init, consts, config,
             sample_iterations=sample_iterations,
             burn_iterations=burn_iterations,
@@ -442,7 +448,7 @@ def gpirt_mcmc(
         )
     else:
         draws = run_chains(
-            chain_keys(SEED, CHAIN),
+            chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl),
             jnp.asarray(y),
             th_inits,
             thresholds_init,
@@ -635,7 +641,7 @@ def recover_fstar(
 
     dt = config.jdtype
     fstar = _recover_program(config)(
-        jax.random.key(seed),
+        jax.random.key(seed, impl=config.resolved_prng_impl),
         jnp.asarray(f_int, dt),
         jnp.asarray(theta_int, dt),
         jnp.asarray(beta_mean, dt),
@@ -748,9 +754,9 @@ def recover_fstar_batch(
         config, beta_prior_means, beta_prior_sds, np.zeros((2, n)), np.zeros((2, n))
     )
     dt = config.jdtype
-    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.key(seed), s))(
-        jnp.arange(S)
-    )
+    keys = jax.vmap(lambda s: jax.random.fold_in(
+        jax.random.key(seed, impl=config.resolved_prng_impl), s
+    ))(jnp.arange(S))
     y_j = jnp.asarray(y)
 
     def one(key, f_j, theta_j, beta_j, thr_j):

@@ -215,6 +215,37 @@ def draw_f(
 
 
 
+def _normal2d(key, shape, dt):
+    """``jax.random.normal`` generated with leading dims flattened.
+
+    TPU layout assignment places an RNG output's SECOND-MINOR dim in the
+    vreg sublane slot; for ≥3-D shapes whose second-minor dim is tiny —
+    the (H, N, m) / (H, n, m) draws under a chain vmap with H = 1 — that
+    yields a degenerate T(1,128) tiling, and every fused elementwise
+    consumer of the bits runs at 1/8 VPU rate (measured: the grid nugget
+    chain was ~5 of the 10 big T(1,128) ops in the senate116 sweep HLO).
+    Generating (prod(lead), minor) and reshaping keeps T(8,128); the bit
+    stream is unchanged (bits are assigned by flat position), so draws are
+    bitwise identical to the direct-shape call.
+    """
+    if len(shape) <= 2:
+        return jax.random.normal(key, shape, dt)
+    flat = 1
+    for s in shape[:-1]:
+        flat *= int(s)
+    return jax.random.normal(key, (flat, int(shape[-1])), dt).reshape(shape)
+
+
+def _uniform2d(key, shape, dt):
+    """``jax.random.uniform`` twin of :func:`_normal2d`."""
+    if len(shape) <= 2:
+        return jax.random.uniform(key, shape, dt)
+    flat = 1
+    for s in shape[:-1]:
+        flat *= int(s)
+    return jax.random.uniform(key, (flat, int(shape[-1])), dt).reshape(shape)
+
+
 def grid_prior_draw(key, consts, config, lead_shape, m, dt):
     """GP prior draw on the theta* grid via the rank-(q+3) eigenbasis.
 
@@ -231,9 +262,9 @@ def grid_prior_draw(key, consts, config, lead_shape, m, dt):
     q = consts.U_se.shape[1]
     k_q, k_p, k_n = jax.random.split(key, 3)
     hi = jax.lax.Precision.HIGHEST
-    z_q = jax.random.normal(k_q, lead_shape + (q, m), dt)
-    z_p = jax.random.normal(k_p, lead_shape + (3, m), dt)
-    z_n = jax.random.normal(k_n, lead_shape + (N, m), dt)
+    z_q = _normal2d(k_q, lead_shape + (q, m), dt)
+    z_p = _normal2d(k_p, lead_shape + (3, m), dt)
+    z_n = _normal2d(k_n, lead_shape + (N, m), dt)
     return (jnp.einsum("aq,...qm->...am", consts.U_se, z_q, precision=hi)
             + jnp.einsum("ap,...pm->...am", consts.Psi_grid, z_p,
                          precision=hi)
@@ -261,8 +292,8 @@ def theta_prior_perturbation(key, theta_idx, consts, config, m, dt):
     k = U.shape[-1]
     lead, n = theta_idx.shape[:-1], theta_idx.shape[-1]
     k_u, k_n = jax.random.split(key)
-    z_u = jax.random.normal(k_u, lead + (k, m), dt)
-    z_n = jax.random.normal(k_n, lead + (n, m), dt)
+    z_u = _normal2d(k_u, lead + (k, m), dt)
+    z_n = _normal2d(k_n, lead + (n, m), dt)
     return (jnp.einsum("...nk,...km->...nm", U, z_u, precision=_HI)
             + jnp.sqrt(jnp.asarray(config.device_jitter, dt)) * z_n)
 
@@ -329,7 +360,7 @@ def _fstar_chol(key, f, theta_idx, L, consts, config):
     L_post = chol_with_jitter(K_post, config.jitter)
     w = tri_solve(L, f)  # whitened f
     mean = jnp.einsum("hna,hnm->ham", V, w)
-    z = jax.random.normal(key, mean.shape, f.dtype)
+    z = _normal2d(key, mean.shape, f.dtype)
     return mean + jnp.einsum("hab,hbm->ham", L_post, z)
 
 
@@ -528,7 +559,7 @@ def draw_z_truncnorm(
         # missing cells: full-support draw
         cdf_lo = jnp.where(mask, cdf_lo, 0.0)
         cdf_hi = jnp.where(mask, cdf_hi, 1.0)
-    u = jax.random.uniform(key, g.shape, dt)
+    u = _uniform2d(key, g.shape, dt)
     eps = jnp.asarray(1e-6, dt)
     p = jnp.clip(cdf_lo + u * (cdf_hi - cdf_lo), eps, 1.0 - eps)
     q = ndtri(p).astype(dt)
@@ -577,7 +608,7 @@ def draw_fstar_conjugate(
     # than the exact-K L_grid draw was
     ustar = grid_prior_draw(k_u, consts, config, (H,), m, dt)
     u_theta = jnp.take_along_axis(ustar, idx[:, :, None], axis=1)  # (H, n, m)
-    eps = jax.random.normal(k_e, (H, n, m), dt)
+    eps = _normal2d(k_e, (H, n, m), dt)
     if sqrt_t is not None:
         eps = eps * sqrt_t  # tempered observation noise sd sqrt(T)
 
@@ -1215,7 +1246,7 @@ def _table_lookup(table: jnp.ndarray, idx_hn: jnp.ndarray) -> jnp.ndarray:
 def _gumbel_argmax(key: jax.Array, logits: jnp.ndarray, axis: int) -> jnp.ndarray:
     """Exact categorical sampling via the Gumbel-max trick (TPU-friendly:
     one fused elementwise + argmax, no CDF scan)."""
-    g = -jnp.log(-jnp.log(jax.random.uniform(key, logits.shape, logits.dtype)))
+    g = -jnp.log(-jnp.log(_uniform2d(key, logits.shape, logits.dtype)))
     return jnp.argmax(logits + g, axis=axis).astype(jnp.int32)
 
 
@@ -1415,6 +1446,48 @@ def draw_threshold(
     _, inv_s = _temp_scales(temp, dt)
     g = f + mu
     k_nu, k_ess = jax.random.split(key)
+
+    if C == 2:
+        # binary fast path: the single interior cutpoint t_1 enters every
+        # observed cell as log(Phi(s (t_1 - g)) + 1e-6) with s = +1 for
+        # y = 1 and -1 for y = 2 (P(y=2) = 1 - Phi = Phi of the negated
+        # argument), so each ESS round is ONE fused
+        # erf -> log -> masked-sum pass over (H, n, m) — no (H, n, m, C+1)
+        # cdf table, no concat/diff, no one-hot contraction. The y-marginal
+        # ESS cutpoint update was the top block of the senate116 sweep
+        # (2.56 ms of 6.2 at 64 chains, perf anatomy r3) and its rounds are
+        # memory-bound on exactly those intermediates.
+        sgn = jnp.where(y == 1, 1.0, -1.0).astype(dt) * (y > 0)  # (H, n, m)
+        c = jnp.asarray(0.7071067811865476, dt)
+        if inv_s is not None:
+            c = c * inv_s
+        floor = jnp.asarray(1e-6, dt)
+
+        def _binary_ll(t1, pool_horizons):
+            # t1: (H, m) interior cutpoint (or (m,) broadcast when pooled)
+            x = sgn * (t1[..., None, :] - g) * c  # (H, n, m)
+            term = jnp.log(0.5 * (1.0 + jax.lax.erf(x)) + floor)
+            term = term * (y > 0)
+            return jnp.sum(term, axis=(0, 1)) if pool_horizons \
+                else jnp.sum(term, axis=1)
+
+        if config.constant_IRF:
+            delta = threshold_to_delta(thresholds[0])  # (m, C-1)
+            nu = jax.random.normal(k_nu, delta.shape, dt)
+            d_new = ess_update(
+                k_ess, delta, nu,
+                lambda d: _binary_ll(delta_to_threshold(d)[..., 1], True),
+                max_rounds=config.ess_max_rounds)
+            return jnp.broadcast_to(delta_to_threshold(d_new)[None],
+                                    (H, m, Cp1))
+        delta = threshold_to_delta(thresholds)  # (H, m, C-1)
+        nu = jax.random.normal(k_nu, delta.shape, dt)
+        d_new = ess_update(
+            k_ess, delta, nu,
+            lambda d: _binary_ll(delta_to_threshold(d)[..., 1], False),
+            max_rounds=config.ess_max_rounds)
+        return delta_to_threshold(d_new)
+
     # gather-free likelihood: all C category log-probs (categories share
     # cutpoint boundaries, so this costs (C+1) Phi per observation) dotted
     # with the static one-hot of y — no take_along_axis inside the loop

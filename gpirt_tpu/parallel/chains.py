@@ -46,9 +46,16 @@ def make_chain_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Me
     return Mesh(np.asarray(devs), (axis,))
 
 
-def chain_keys(seed: int, n_chains: int) -> jax.Array:
-    """Per-chain keys seeded SEED, SEED+1, ... (R/gpirtMCMC.R:114 semantics)."""
-    return jax.vmap(lambda s: jax.random.key(s))(seed + jnp.arange(n_chains))
+def chain_keys(seed: int, n_chains: int, impl: Optional[str] = None) -> jax.Array:
+    """Per-chain keys seeded SEED, SEED+1, ... (R/gpirtMCMC.R:114 semantics).
+
+    ``impl`` selects the PRNG key implementation (pass
+    ``config.resolved_prng_impl``; None = JAX's default, threefry). The
+    impl travels with the key, so every downstream split/fold_in/draw in
+    the sweep inherits it."""
+    return jax.vmap(lambda s: jax.random.key(s, impl=impl))(
+        seed + jnp.arange(n_chains)
+    )
 
 
 def run_chains(

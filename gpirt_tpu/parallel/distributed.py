@@ -115,7 +115,9 @@ def run_chains_multihost(
     key_shards, init_shards = [], []
     for lo, hi, dev in _local_shard_bounds(mesh, n_chains):
         with jax.default_device(dev):
-            ks = jax.vmap(jax.random.key)(seed + jnp.arange(lo, hi))
+            ks = jax.vmap(
+                lambda s: jax.random.key(s, impl=config.resolved_prng_impl)
+            )(seed + jnp.arange(lo, hi))
             key_shards.append(jax.device_put(ks, dev))
             if per_chain_init:
                 init_shards.append(
@@ -125,7 +127,9 @@ def run_chains_multihost(
                 )
 
     key_sharding = NamedSharding(mesh, P(axis))
-    probe = jax.eval_shape(lambda: jax.vmap(jax.random.key)(jnp.arange(n_chains)))
+    probe = jax.eval_shape(lambda: jax.vmap(
+        lambda s: jax.random.key(s, impl=config.resolved_prng_impl)
+    )(jnp.arange(n_chains)))
     keys = jax.make_array_from_single_device_arrays(
         (n_chains,), key_sharding, key_shards, dtype=probe.dtype
     )

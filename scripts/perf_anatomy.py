@@ -138,7 +138,10 @@ def main():
           f"affine_rounds={config.affine_rounds} on {jax.devices()[0].platform}")
     assert config.resolved_f_method == "conjugate", "anatomy targets the default path"
 
-    keys = jax.vmap(jax.random.key)(jnp.arange(K))
+    impl = config.resolved_prng_impl  # rbg on TPU: the bit stream the real
+    # sweep uses (chain_keys threads it); threefry here would overstate the
+    # RNG-heavy blocks ~2.4x
+    keys = jax.vmap(lambda s: jax.random.key(s, impl=impl))(jnp.arange(K))
     state = jax.jit(jax.vmap(
         lambda k, t: init_state(k, t, jnp.asarray(thr, config.jdtype), y,
                                 consts, config)
@@ -161,7 +164,7 @@ def main():
     print(f"[{time.time()-t0:.1f}s] warmup done")
 
     # derived quantities each block consumes
-    key = jax.random.key(7)
+    key = jax.random.key(7, impl=impl)
     theta = jax.vmap(lambda i: G.theta_from_indices(i, consts))(state.theta_idx)
     mu = jax.vmap(G.compute_mu)(theta, state.beta)
     mu_star = jax.vmap(lambda b: G.compute_mu_star(consts, b))(state.beta)
@@ -169,6 +172,15 @@ def main():
         lambda g, t: G.draw_z_truncnorm(key, g, y, t)
     ))(state.f + mu, state.thresholds)
     jax.block_until_ready((theta, mu, mu_star, z))
+
+    # Every isolated block must DEPEND ON ITS SCAN CARRY through all of its
+    # expensive inputs, or XLA hoists the loop-invariant work out of the
+    # timing scan entirely (measured: draw_theta "0.03 ms" with its table +
+    # contraction hoisted). `eps(c)` is a data-dependent zero added to a
+    # SMALL upstream input so the whole block recomputes each step while
+    # the poison itself costs nothing.
+    def eps(c):
+        return jnp.ravel(c)[0].astype(config.jdtype) * 0
 
     times = {}
     times["full_sweep"] = device_time(
@@ -180,12 +192,14 @@ def main():
         lambda ti_, i: jax.vmap(
             lambda s, ms: G.draw_theta(jax.random.fold_in(key, i), s, ms, y,
                                        consts, config)
-        )(state._replace(theta_idx=ti_), mu_star),
+        )(state._replace(theta_idx=ti_,
+                         thresholds=state.thresholds + eps(ti_)),
+          mu_star + eps(ti_)),
         state.theta_idx, args.reps)
     times["draw_z"] = device_time(
         lambda z_, i: jax.vmap(
             lambda g, t: G.draw_z_truncnorm(jax.random.fold_in(key, i), g, y, t)
-        )(state.f + mu + z_ * 0, state.thresholds),
+        )(state.f + mu + z_ * 0, state.thresholds + eps(z_)),
         z, args.reps)
     if config.affine_rounds > 0 or config.affine_shift_max > 0:
         times["affine_moves"] = device_time(
@@ -198,19 +212,24 @@ def main():
         lambda f_, i: jax.vmap(
             lambda s, zr: G.draw_fstar_conjugate(
                 jax.random.fold_in(key, i), s, zr, config, consts)[1]
-        )(state._replace(f=f_), z - mu),
+        )(state._replace(
+            f=f_,
+            # integer poison: keeps the theta-site basis gathers in the
+            # timed loop (they re-run every sweep in reality)
+            theta_idx=state.theta_idx + jnp.ravel(f_)[0].astype(jnp.int32) * 0,
+        ), z - mu + eps(f_)),
         state.f, args.reps)
     times["draw_beta"] = device_time(
         lambda b_, i: jax.vmap(
             lambda th, zmf: G.draw_beta_conjugate(
                 jax.random.fold_in(key, i), th, zmf, consts, config)
-        )(theta, z - state.f + b_[:, :1, :1, ...] * 0),
+        )(theta + eps(b_), z - state.f + b_[:, :1, :1, ...] * 0),
         state.beta, args.reps)
     times["draw_threshold"] = device_time(
         lambda t_, i: jax.vmap(
             lambda tt, f_, m_: G.draw_threshold(
                 jax.random.fold_in(key, i), tt, f_, m_, y, config)
-        )(t_, state.f, mu),
+        )(t_, state.f + eps(t_), mu),
         state.thresholds, args.reps)
 
     fl = flops_model(n, m, H, N, C, config.affine_rounds, config.mix_subsweeps,

@@ -400,3 +400,31 @@ class TestVerboseConvergenceSummary:
             CHAIN=2, SEED=2, dtype="float64", verbose=False,
         )
         assert "theta ESS min/median" not in capfd.readouterr().err
+
+
+class TestPrngImpl:
+    def test_resolution_and_validation(self):
+        from gpirt_tpu.models.config import GPIRTConfig
+
+        # CPU test session: auto -> threefry (bit-stable goldens)
+        assert GPIRTConfig(n=4, m=3).resolved_prng_impl == "threefry2x32"
+        assert GPIRTConfig(n=4, m=3, prng_impl="rbg").resolved_prng_impl == "rbg"
+        with pytest.raises(ValueError, match="prng_impl"):
+            GPIRTConfig(n=4, m=3, prng_impl="philox")
+
+    def test_rbg_runs_and_is_deterministic(self):
+        """The rbg key impl threads through gpirt_mcmc end to end: the
+        sweep draws from whatever impl the chain keys carry, and a fixed
+        SEED reproduces the run exactly (the reference's reseeded-thread
+        reproducibility contract, src/gpirtMCMC.cpp:267)."""
+        _, y = simulate_2pl(3, n=12, m=6)
+        codes = {"yea": 1, "nay": 0, "missing": None}
+        kw = dict(vote_codes=codes, dtype="float64", verbose=False,
+                  prng_impl="rbg")
+        a = gpirt_mcmc(y, 4, 2, SEED=5, **kw)
+        b = gpirt_mcmc(y, 4, 2, SEED=5, **kw)
+        np.testing.assert_array_equal(a[0]["theta"], b[0]["theta"])
+        # a different impl gives a different (but valid) stream
+        c = gpirt_mcmc(y, 4, 2, SEED=5, vote_codes=codes, dtype="float64",
+                       verbose=False, prng_impl="threefry2x32")
+        assert not np.array_equal(a[0]["theta"], c[0]["theta"])
