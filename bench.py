@@ -69,6 +69,7 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
     """
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
     from gpirt_tpu.parallel.chains import run_chains_chunked, chain_keys
@@ -115,7 +116,7 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
                 keys, yj, theta_init, thr, consts, config,
                 n_steps=smc_steps, max_temp=smc_max_temp,
             )
-            jax.block_until_ready(init_states)
+            fetch_sync(init_states)
             _log(f"smc init (seed {seed}): {info['n_resamples']} resamples, "
                  f"final weight-ESS {info['final_weight_ess']:.1f}")
         smc_wall = time.time() - t0
@@ -125,7 +126,7 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
             sample_iterations=sample_iterations, burn_iterations=burn_iterations,
             chunk_iterations=250, initial_states=init_states,
         )
-        jax.block_until_ready(draws)
+        fetch_sync(draws)
         return draws, smc_wall, time.time() - t0
 
     _log("warmup/compile start")
@@ -294,10 +295,10 @@ def bench_sdo(sample_iterations=500, burn_iterations=200):
                          sample_iterations=sample_iterations,
                          burn_iterations=burn_iterations)
 
-    jax.block_until_ready(go(9))
+    fetch_sync(go(9))
     t0 = time.time()
     d = go(1)
-    jax.block_until_ready(d)
+    fetch_sync(d)
     wall = time.time() - t0
     total = sample_iterations + burn_iterations
     return {"metric": "iterations/sec, SDO ordinal GP-IRT (1500x16, C=5)",
@@ -332,10 +333,10 @@ def bench_synthetic(n=5000, m=1000, sample_iterations=10, burn_iterations=5):
                          sample_iterations=sample_iterations,
                          burn_iterations=burn_iterations)
 
-    jax.block_until_ready(go(9))
+    fetch_sync(go(9))
     t0 = time.time()
     d = go(1)
-    jax.block_until_ready(d)
+    fetch_sync(d)
     wall = time.time() - t0
     total = sample_iterations + burn_iterations
     return {"metric": f"iterations/sec, synthetic {n}x{m} GP-IRT",
@@ -385,10 +386,10 @@ def bench_dynamic(n=150, m=60, horizon=10, sample_iterations=300,
             burn_iterations=burn_iterations, chunk_iterations=200,
         )
 
-    jax.block_until_ready(go(9))
+    fetch_sync(go(9))
     t0 = time.time()
     d = go(1)
-    jax.block_until_ready(d)
+    fetch_sync(d)
     wall = time.time() - t0
     total = sample_iterations + burn_iterations
     # posterior-mean drift recovery vs truth (chains sign-aligned first —
@@ -436,7 +437,7 @@ def bench_chains64(sample_iterations=300, burn_iterations=100):
     d = run_chains(chain_keys(1, K, impl=config.resolved_prng_impl), yj, ti, thr, consts, config,
                    sample_iterations=sample_iterations,
                    burn_iterations=burn_iterations, mesh=mesh)
-    jax.block_until_ready(d)
+    fetch_sync(d)
     wall = time.time() - t0  # includes compile; chains64 is a scale demo
     theta = np.asarray(d["theta"])[:, :, 0]
     ref = theta[0, 0]
@@ -489,9 +490,11 @@ def main():
     ap.add_argument("--smc-steps", type=int, default=192,
                     help="SMC annealed-init steps (0 disables)")
     ap.add_argument("--threshold-method", default="auto",
-                    choices=["auto", "ess", "collapsed", "interleave"],
+                    choices=["auto", "ess", "collapsed", "interleave",
+                             "newton"],
                     help="cutpoint update (A/B: collapsed z-box draw vs "
-                         "y-marginal delta ESS vs their interleave)")
+                         "y-marginal delta ESS vs their interleave vs "
+                         "Newton independence MH)")
     ap.add_argument("--threshold-ess-every", type=int, default=4,
                     help="interleave period k (marginal ESS on i %% k == 0)")
     args = ap.parse_args()

@@ -124,6 +124,7 @@ def gpirt_mcmc(
     f_method: str = "auto",
     threshold_method: str = "auto",
     threshold_ess_every: int = 4,
+    threshold_mh_tries: int = 2,
     mix_subsweeps: int = 1,
     prng_impl: str = "auto",
     jitter: Optional[float] = None,
@@ -266,6 +267,7 @@ def gpirt_mcmc(
         f_method=f_method,
         threshold_method=threshold_method,
         threshold_ess_every=threshold_ess_every,
+        threshold_mh_tries=threshold_mh_tries,
         mix_subsweeps=mix_subsweeps,
         prng_impl=prng_impl,
         jitter=jitter if jitter is not None else (1e-6 if dtype == "float64" else 1e-5),

@@ -55,10 +55,17 @@ class GPIRTConfig:
     # marginal move does NOT recover theta mixing — one collapsed draw
     # re-anchors the cutpoints to the z box, so both arms lose to pure
     # "ess" on ess/sec; RESULTS.md threshold A/B) |
+    # "newton" (binary only: Newton-proposal independence MH on t_1 —
+    # targets the SAME y-marginal conditional as "ess" so no z-anchoring,
+    # at threshold_mh_tries + 1 fused (H,n,m) passes instead of ~10
+    # bracket-shrink rounds; Geweke-gated) |
     # "auto" (the measured winner — see resolved_threshold_method)
     threshold_ess_every: int = 4  # interleave period k: the y-marginal ESS
     # cutpoint update runs on iterations with i % k == 0, the collapsed
     # exact draw otherwise (used only by threshold_method="interleave")
+    threshold_mh_tries: int = 2  # MH tries per sweep for "newton" (each an
+    # independence-MH step with proposal/reverse Newton stats; acceptance
+    # is near 1, so 2 tries give near-iid conditional draws)
     # Collective affine MH moves on (theta, beta) with f* collapsed
     # (conjugate path only — they need the Albert-Chib z-marginal). These
     # traverse the global location/scale soft modes that dominate theta
@@ -130,10 +137,10 @@ class GPIRTConfig:
                 "use 'grid' or 'two_stage'"
             )
         if self.threshold_method not in ("auto", "ess", "collapsed",
-                                         "interleave"):
+                                         "interleave", "newton"):
             raise ValueError(
-                "threshold_method must be 'auto', 'ess', 'collapsed' or "
-                f"'interleave', got {self.threshold_method!r}"
+                "threshold_method must be 'auto', 'ess', 'collapsed', "
+                f"'interleave' or 'newton', got {self.threshold_method!r}"
             )
         if (self.threshold_method in ("collapsed", "interleave")
                 and self.resolved_f_method != "conjugate"):
@@ -141,10 +148,20 @@ class GPIRTConfig:
                 f"threshold_method={self.threshold_method!r} needs the "
                 "Albert-Chib latents (f_method='conjugate')"
             )
+        if self.threshold_method == "newton" and self.C != 2:
+            raise ValueError(
+                "threshold_method='newton' is binary-only (C == 2); "
+                f"got C = {self.C}"
+            )
         if self.threshold_ess_every < 1:
             raise ValueError(
                 "threshold_ess_every must be >= 1, "
                 f"got {self.threshold_ess_every}"
+            )
+        if self.threshold_mh_tries < 1:
+            raise ValueError(
+                "threshold_mh_tries must be >= 1, "
+                f"got {self.threshold_mh_tries}"
             )
         if self.fstar_method not in ("matheron", "chol"):
             raise ValueError(
@@ -208,8 +225,11 @@ class GPIRTConfig:
         3.2x (within-chain ESS/draw 0.101 -> 0.032; RESULTS.md threshold
         A/B). Net ess/sec: 490 (ess) vs 222 (collapsed), so auto stays on
         the y-marginal ESS; "collapsed" remains available where raw sweep
-        throughput is what matters. Non-conjugate paths have no z and always
-        use the y-marginal ESS."""
+        throughput is what matters. Non-conjugate paths have no z and fall
+        back to the y-marginal ESS ("newton" also targets the y-marginal
+        conditional, so it is valid on every f_method)."""
+        if self.threshold_method == "newton":
+            return "newton"
         if self.resolved_f_method != "conjugate":
             return "ess"
         if self.threshold_method == "auto":

@@ -55,6 +55,8 @@ from gpirt_tpu.ops.likelihood import (
 )
 from gpirt_tpu.ops.linalg import chol3, chol_with_jitter, tri3_solve, tri_solve
 
+_SQRT2 = 1.4142135623730951
+
 __all__ = [
     "GPIRTState",
     "init_state",
@@ -522,8 +524,6 @@ def draw_z_truncnorm(
     length-(C+1) dot per cell. Infinite endpoints are clamped to +-1e30 so
     0 * inf never produces NaN; semantics are unchanged.
     """
-    from jax.scipy.special import ndtri
-
     dt = g.dtype
     big = jnp.asarray(1e30, dt)
     t_clip = jnp.clip(thresholds, -big, big)  # (H, m, C+1)
@@ -562,7 +562,11 @@ def draw_z_truncnorm(
     u = _uniform2d(key, g.shape, dt)
     eps = jnp.asarray(1e-6, dt)
     p = jnp.clip(cdf_lo + u * (cdf_hi - cdf_lo), eps, 1.0 - eps)
-    q = ndtri(p).astype(dt)
+    # Phi^-1 via erf_inv: XLA's TPU erf_inv lowering is ~3x cheaper than
+    # jax.scipy's ndtri rational-polynomial (0.29 vs 0.86 ms for this
+    # (K=64,H,n,m) pass) at comparable f32 accuracy (max abs err 0.021 vs
+    # 0.033 over the clipped domain, both in the 1e-6 tails)
+    q = (_SQRT2 * jax.lax.erf_inv(2.0 * p - 1.0)).astype(dt)
     z = g + (q if sqrt_t is None else sqrt_t * q)
     # far-tail degenerate intervals: fall back to the nearest bound
     # (endpoint cutpoints are clamped to +-1e30, so test magnitude)
@@ -1428,6 +1432,81 @@ def draw_beta(
 # ---------------------------------------------------------------------------
 
 
+def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s):
+    """Newton-proposal independence MH on the binary cutpoint t_1.
+
+    Targets the SAME y-marginal conditional as the delta-ESS update (prior
+    t_1 ~ N(0,1), likelihood sum of log(Phi(s(t_1-g)) + 1e-6) over observed
+    cells) — so unlike the collapsed z-box draw it inherits none of the
+    z-anchoring pathology (RESULTS.md threshold A/B) — but replaces the
+    ~10 bracket-shrink rounds (one fused (H,n,m) erf pass each) with
+    ``threshold_mh_tries`` MH tries at ONE pass per try (+1 for the
+    initial stats): each pass computes (psi, psi', psi'') of the
+    log-concave 1-D conditional in fused form, the proposal is
+    N(t + clip(Newton step), -eta^2/psi''), and the reverse-direction
+    Newton stats come from the proposal's own pass, so the acceptance
+    ratio is exact (proposal-aware independence MH / full-Newton MALA).
+    Acceptance is near 1 (the n-cell conditional is close to Gaussian);
+    exactness is gated by tests/test_geweke.py::TestGewekeBinaryNewton.
+    """
+    H, m, Cp1 = thresholds.shape
+    dt = thresholds.dtype
+    pooled = bool(config.constant_IRF)
+    sgn = jnp.where(y == 1, 1.0, -1.0).astype(dt) * (y > 0)  # (H, n, m)
+    cscale = jnp.asarray(1.0, dt) if inv_s is None else inv_s.astype(dt)
+    inv_sqrt2 = jnp.asarray(0.7071067811865476, dt)
+    inv_sqrt2pi = jnp.asarray(0.3989422804014327, dt)
+    floor = jnp.asarray(1e-6, dt)
+    eta2 = jnp.asarray(1.21, dt)  # proposal-variance inflation 1.1^2
+    red_axes = (0, 1) if pooled else (1,)
+
+    def stats(t1):
+        """(psi, proposal mean, proposal var) at cutpoint t1 per lane."""
+        u = sgn * (t1[..., None, :] - g) * cscale  # (H, n, m) std normal arg
+        phi_cdf = 0.5 * (1.0 + jax.lax.erf(u * inv_sqrt2)) + floor
+        pdf = inv_sqrt2pi * jnp.exp(-0.5 * u * u)
+        r = pdf / phi_cdf
+        obs = y > 0
+        term = jnp.log(phi_cdf) * obs
+        grad_c = sgn * r  # sgn carries the obs mask (0 on missing cells)
+        hess_c = (r * (-u - r)) * obs
+        psi = -0.5 * t1 * t1 + jnp.sum(term, axis=red_axes)
+        dpsi = -t1 + cscale * jnp.sum(grad_c, axis=red_axes)
+        d2psi = -1.0 + cscale * cscale * jnp.sum(hess_c, axis=red_axes)
+        d2psi = jnp.minimum(d2psi, -1.0)  # concave up to the 1e-6 floors
+        mean = t1 + jnp.clip(-dpsi / d2psi, -3.0, 3.0)
+        var = -eta2 / d2psi
+        return psi, mean, var
+
+    def log_q(x, mean, var):
+        return -0.5 * (jnp.log(var) + jnp.square(x - mean) / var)
+
+    if pooled:
+        t1 = thresholds[0, :, 1]  # (m,) shared cutpoint
+    else:
+        t1 = thresholds[..., 1]  # (H, m)
+    cur = stats(t1)
+    for k in range(config.threshold_mh_tries):
+        k_z, k_u, key = jax.random.split(jax.random.fold_in(key, k), 3)
+        psi0, mean0, var0 = cur
+        prop = mean0 + jnp.sqrt(var0) * jax.random.normal(k_z, t1.shape, dt)
+        psi1, mean1, var1 = stats(prop)
+        log_a = (psi1 - psi0
+                 + log_q(t1, mean1, var1) - log_q(prop, mean0, var0))
+        acc = jnp.log(jax.random.uniform(k_u, t1.shape, dt)) < log_a
+        t1 = jnp.where(acc, prop, t1)
+        cur = tuple(jnp.where(acc, new, old)
+                    for new, old in zip((psi1, mean1, var1), cur))
+
+    big = jnp.asarray(jnp.inf, dt)
+    if pooled:
+        thr = jnp.stack([jnp.full_like(t1, -big), t1,
+                         jnp.full_like(t1, big)], axis=-1)  # (m, 3)
+        return jnp.broadcast_to(thr[None], (H, m, Cp1))
+    return jnp.stack([jnp.full_like(t1, -big), t1,
+                      jnp.full_like(t1, big)], axis=-1)  # (H, m, 3)
+
+
 def draw_threshold(
     key: jax.Array,
     thresholds: jnp.ndarray,
@@ -1448,6 +1527,9 @@ def draw_threshold(
     k_nu, k_ess = jax.random.split(key)
 
     if C == 2:
+        if config.resolved_threshold_method == "newton":
+            return _draw_threshold_binary_newton(key, thresholds, g, y,
+                                                 config, inv_s)
         # binary fast path: the single interior cutpoint t_1 enters every
         # observed cell as log(Phi(s (t_1 - g)) + 1e-6) with s = +1 for
         # y = 1 and -1 for y = 2 (P(y=2) = 1 - Phi = Phi of the negated

@@ -18,7 +18,32 @@ import jax.numpy as jnp
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
 from gpirt_tpu.models import gibbs as G
 
-__all__ = ["profile_sweep", "device_time"]
+__all__ = ["profile_sweep", "device_time", "fetch_sync"]
+
+
+def _scalar_probe(tree):
+    """A cheap scalar that data-depends on every numeric leaf of ``tree``
+    (first element of each raveled leaf; key/extended dtypes skipped)."""
+    total = jnp.zeros((), jnp.float32)
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if not hasattr(leaf, "dtype"):
+            continue
+        if jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.extended):
+            continue
+        total = total + jnp.ravel(leaf)[0].astype(jnp.float32)
+    return total
+
+
+def fetch_sync(tree) -> None:
+    """Force EXECUTION of everything ``tree`` depends on.
+
+    On this image's tunneled (axon) runtime, ``jax.block_until_ready`` only
+    flushes the enqueue — execution is lazy until a device->host FETCH
+    (measured: a 0.5 s program "completes" block_until_ready in 0.1 ms; the
+    first fetch then blocks 0.5 s). Every wall-clock measurement must end
+    with a fetch of a value that data-depends on the timed computation, or
+    the execution cost leaks into whoever fetches next."""
+    float(jax.jit(_scalar_probe)(tree))
 
 
 def device_time(step_fn, init, reps: int = 20, attempts: int = 4) -> float:
@@ -32,7 +57,12 @@ def device_time(step_fn, init, reps: int = 20, attempts: int = 4) -> float:
     times and the fastest wall kept: tunnel stalls only ever ADD time
     (measured up to ~1 ms/step of phantom cost at best-of-2), so min is
     the right statistic and 4 attempts make a stall surviving into the
-    slope unlikely."""
+    slope unlikely.
+
+    The scan reduces its carry to ONE scalar inside the program and the
+    wall ends with the scalar's fetch: on the tunneled runtime execution
+    is lazy until a fetch (see :func:`fetch_sync`), and a fetch of the
+    full carry would add multi-MB tunnel-transfer time to the wall."""
 
     def build(k):
         @jax.jit
@@ -41,18 +71,18 @@ def device_time(step_fn, init, reps: int = 20, attempts: int = 4) -> float:
                 return step_fn(c, i), ()
 
             c, _ = jax.lax.scan(body, init, jnp.arange(k))
-            return c
+            return _scalar_probe(c)
 
         return run
 
     run_lo, run_hi = build(reps), build(5 * reps)
 
     def wall(run):
-        jax.block_until_ready(run(init))  # compile + warm
+        float(run(init))  # compile + warm
         best = float("inf")
         for _ in range(attempts):
             t0 = time.time()
-            jax.block_until_ready(run(init))
+            float(run(init))
             best = min(best, time.time() - t0)
         return best
 

@@ -38,6 +38,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.api import default_thresholds
     from gpirt_tpu.models import GPIRTConfig, make_constants
@@ -68,7 +69,7 @@ def main():
     d = run_chains_chunked(chain_keys(1, K), yj, ti, thr, consts, config,
                            sample_iterations=args.samples,
                            burn_iterations=args.burn, chunk_iterations=250)
-    jax.block_until_ready(d)
+    fetch_sync(d)
     wall = time.time() - t0
     print(f"run: {K} chains x {args.samples}+{args.burn} iters, {wall:.1f}s "
           f"(f_method={config.resolved_f_method})")

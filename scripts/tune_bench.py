@@ -33,6 +33,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.api import default_thresholds
     from gpirt_tpu.models import GPIRTConfig, make_constants
@@ -77,10 +78,10 @@ def main():
                 chunk_iterations=250,
             )
 
-        jax.block_until_ready(go(99))  # compile warmup
+        fetch_sync(go(99))  # compile warmup
         t0 = time.time()
         d = go(1)
-        jax.block_until_ready(d)
+        fetch_sync(d)
         wall = time.time() - t0
         pool = float(jnp.median(
             jax.jit(effective_sample_size_device)(d["theta"][:, :, 0])

@@ -102,50 +102,6 @@ class TestGewekeRegimes:
     GP (time-GP prior, exact lattice-enumerated prior draw), and the
     stacked/shared constant-IRF mode."""
 
-    def _run(self, config, n, m, H, C, seed=0):
-        consts = make_constants(
-            config,
-            beta_prior_means=np.zeros((3, m)),
-            beta_prior_sds=np.full((3, m), 1.5),
-            theta_prior_means=np.zeros((2, n)),
-            theta_prior_sds=np.zeros((2, n)),
-        )
-
-        @jax.jit
-        def forward(key):
-            st = sample_prior_state(key, consts, config)
-            return _stats(st, consts)
-
-        fwd = np.asarray(
-            jax.vmap(forward)(jax.random.split(jax.random.key(seed), 4000))
-        )
-
-        @jax.jit
-        def sc_step(carry, key):
-            st, y = carry
-            k1, k2 = jax.random.split(key)
-            st, _ = gibbs_sweep(st, k1, y, consts, config)
-            y = sample_responses(k2, st, consts, config)
-            return (st, y), _stats(st, consts)
-
-        k0, k1, kr = jax.random.split(jax.random.key(seed + 1), 3)
-        st0 = sample_prior_state(k0, consts, config)
-        y0 = sample_responses(k1, st0, consts, config)
-        _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
-        sc = np.asarray(sc)[500::3]
-
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
-        fails = []
-        for j, name in enumerate(names):
-            mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
-            x = sc[:, j]
-            nb = len(x) // 40
-            bm = x[: nb * 40].reshape(nb, 40).mean(axis=1)
-            z = (mf - x.mean()) / np.sqrt(vf + bm.var(ddof=1) / nb + 1e-12)
-            if abs(z) > 4.5:
-                fails.append((name, float(z)))
-        assert not fails, fails
-
     def test_rdm_conjugate(self):
         n, m, H, C, N = 5, 3, 2, 3, 61
         config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
@@ -153,7 +109,7 @@ class TestGewekeRegimes:
                              affine_shift_max=5, affine_rounds=2,
                              theta_ls=0.05)  # ls <= 0.1 -> RDM
         assert config.theta_regime == "RDM"
-        self._run(config, n, m, H, C)
+        _run_geweke_sweep(config, n, m, H)
 
     def test_gp_conjugate(self):
         n, m, H, C, N = 5, 3, 2, 3, 61
@@ -162,14 +118,14 @@ class TestGewekeRegimes:
                              affine_shift_max=5, affine_rounds=2,
                              theta_ls=1.0)  # 0.1 < ls < 3H -> GP
         assert config.theta_regime == "GP"
-        self._run(config, n, m, H, C)
+        _run_geweke_sweep(config, n, m, H)
 
     def test_constant_irf_grid(self):
         n, m, H, C, N = 5, 3, 2, 3, 61
         config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
                              dtype="float64", f_method="grid",
                              constant_IRF=True)
-        self._run(config, n, m, H, C)
+        _run_geweke_sweep(config, n, m, H)
 
 
 class TestGewekeTempered:
@@ -346,6 +302,50 @@ class TestGewekeBinaryCollapsed:
         assert not fails, fails
 
 
+def _run_geweke_sweep(config, n, m, H, seed=0, mask=None):
+    consts = make_constants(
+        config,
+        beta_prior_means=np.zeros((3, m)),
+        beta_prior_sds=np.full((3, m), 1.5),
+        theta_prior_means=np.zeros((2, n)),
+        theta_prior_sds=np.zeros((2, n)),
+    )
+
+    @jax.jit
+    def forward(key):
+        st = sample_prior_state(key, consts, config)
+        return _stats(st, consts)
+
+    fwd = np.asarray(
+        jax.vmap(forward)(jax.random.split(jax.random.key(seed), 4000))
+    )
+
+    @jax.jit
+    def sc_step(carry, key):
+        st, y = carry
+        k1, k2 = jax.random.split(key)
+        st, _ = gibbs_sweep(st, k1, y, consts, config)
+        y = sample_responses(k2, st, consts, config, mask=mask)
+        return (st, y), _stats(st, consts)
+
+    k0, k1, kr = jax.random.split(jax.random.key(seed + 1), 3)
+    st0 = sample_prior_state(k0, consts, config)
+    y0 = sample_responses(k1, st0, consts, config, mask=mask)
+    _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
+    sc = np.asarray(sc)[500::3]
+
+    names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+    fails = []
+    for j, name in enumerate(names):
+        mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
+        x = sc[:, j]
+        nb = len(x) // 40
+        bm = x[: nb * 40].reshape(nb, 40).mean(axis=1)
+        z = (mf - x.mean()) / np.sqrt(vf + bm.var(ddof=1) / nb + 1e-12)
+        if abs(z) > 4.5:
+            fails.append((name, float(z)))
+    assert not fails, fails
+
 class TestGewekeBinaryESS:
     """Joint-distribution oracle for draw_threshold's C == 2 fused fast
     path (one masked log-Phi pass per ESS round instead of the
@@ -353,50 +353,6 @@ class TestGewekeBinaryESS:
     never enter this branch and the binary-collapsed oracle uses
     draw_threshold_collapsed, so both branches here (per-horizon and the
     constant_IRF pooled sum) would otherwise ship untested."""
-
-    def _run(self, config, n, m, H, seed=0, mask=None):
-        consts = make_constants(
-            config,
-            beta_prior_means=np.zeros((3, m)),
-            beta_prior_sds=np.full((3, m), 1.5),
-            theta_prior_means=np.zeros((2, n)),
-            theta_prior_sds=np.zeros((2, n)),
-        )
-
-        @jax.jit
-        def forward(key):
-            st = sample_prior_state(key, consts, config)
-            return _stats(st, consts)
-
-        fwd = np.asarray(
-            jax.vmap(forward)(jax.random.split(jax.random.key(seed), 4000))
-        )
-
-        @jax.jit
-        def sc_step(carry, key):
-            st, y = carry
-            k1, k2 = jax.random.split(key)
-            st, _ = gibbs_sweep(st, k1, y, consts, config)
-            y = sample_responses(k2, st, consts, config, mask=mask)
-            return (st, y), _stats(st, consts)
-
-        k0, k1, kr = jax.random.split(jax.random.key(seed + 1), 3)
-        st0 = sample_prior_state(k0, consts, config)
-        y0 = sample_responses(k1, st0, consts, config, mask=mask)
-        _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
-        sc = np.asarray(sc)[500::3]
-
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
-        fails = []
-        for j, name in enumerate(names):
-            mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
-            x = sc[:, j]
-            nb = len(x) // 40
-            bm = x[: nb * 40].reshape(nb, 40).mean(axis=1)
-            z = (mf - x.mean()) / np.sqrt(vf + bm.var(ddof=1) / nb + 1e-12)
-            if abs(z) > 4.5:
-                fails.append((name, float(z)))
-        assert not fails, fails
 
     def test_binary_ess_masked(self):
         """Per-horizon branch, WITH missing cells (masking interacts with
@@ -408,7 +364,7 @@ class TestGewekeBinaryESS:
                              threshold_method="ess",
                              affine_shift_max=5, affine_rounds=2)
         assert config.resolved_threshold_method == "ess"
-        self._run(config, n, m, H, mask=mask)
+        _run_geweke_sweep(config, n, m, H, mask=mask)
 
     def test_binary_ess_constant_irf(self):
         """Pooled branch: constant_IRF shares one cutpoint vector across
@@ -418,7 +374,32 @@ class TestGewekeBinaryESS:
                              dtype="float64", f_method="grid",
                              constant_IRF=True)
         assert config.resolved_threshold_method == "ess"
-        self._run(config, n, m, H, seed=3)
+        _run_geweke_sweep(config, n, m, H, seed=3)
+
+
+class TestGewekeBinaryNewton:
+    """Joint-distribution oracle for threshold_method='newton' (Newton-
+    proposal independence MH on the binary cutpoint). The acceptance ratio
+    must be exactly proposal-aware — any error in the reverse-direction
+    Newton stats (gibbs._draw_threshold_binary_newton) biases the cutpoint
+    marginal, which t1/t12 here detect."""
+
+    def test_binary_newton_masked(self):
+        n, m, H, C, N = 6, 3, 1, 2, 61
+        mask = jnp.asarray(np.random.default_rng(11).random((H, n, m)) > 0.3)
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             threshold_method="newton")
+        assert config.resolved_threshold_method == "newton"
+        _run_geweke_sweep(config, n, m, H, mask=mask)
+
+    def test_binary_newton_constant_irf(self):
+        n, m, H, C, N = 5, 3, 2, 2, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="grid",
+                             constant_IRF=True, threshold_method="newton")
+        assert config.resolved_threshold_method == "newton"
+        _run_geweke_sweep(config, n, m, H, seed=3)
 
 
 class TestGewekeTwoStage:
