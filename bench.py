@@ -49,7 +49,7 @@ def _log(msg):
 
 
 def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
-                  f_method="auto", smc_steps=192, smc_max_temp=64.0,
+                  f_method="auto", smc_steps=320, smc_max_temp=64.0,
                   threshold_method="auto", threshold_ess_every=4):
     """senate116 binary GP-IRT: n_chains vmapped chains on one chip.
 
@@ -133,30 +133,43 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
     t_compile = time.time()
     go(99)
     t_compile = time.time() - t_compile
-    _log(f"warmup done ({t_compile:.1f}s); timed run start")
-
-    draws, smc_wall, samp_wall = go(1)
-    wall = smc_wall + samp_wall
-    _log(f"timed run done (smc {smc_wall:.1f}s + sampling {samp_wall:.1f}s)")
+    _log(f"warmup done ({t_compile:.1f}s); timed runs start")
 
     # ESS computed ON DEVICE: shipping the multi-MB draw array through the
     # tunneled device->host path can take minutes; only (n,) scalars return.
     from gpirt_tpu.utils.diagnostics import effective_sample_size_device
 
-    theta = draws["theta"][:, :, 0]  # (K, S, n)
-    pooled = np.asarray(jax.jit(effective_sample_size_device)(theta))
+    pooled_j = jax.jit(effective_sample_size_device)
 
     @jax.jit
     def _within(th):  # per-chain ESS summed over chains, (n,)
         per = jax.vmap(lambda c: effective_sample_size_device(c[None]))(th)
         return jnp.sum(per, axis=0)
 
-    within = np.asarray(_within(theta))
-    _log("device ESS done")
-    total_iters = sample_iterations + burn_iterations
+    # the per-seed median-within ESS of a 64-chain campaign varies ~2-3x
+    # across seeds (the SMC placement and the soft-mode basin draw are a
+    # lottery; measured seeds 1-3: within 2045/2570/6737); three timed
+    # seeds make the recorded rate a campaign average instead of one ticket
+    seeds, within_m, pooled_m = (1, 2, 3), [], []
+    smc_wall = samp_wall = 0.0
+    for s in seeds:
+        draws, smc_w, samp_w = go(s)
+        smc_wall += smc_w
+        samp_wall += samp_w
+        theta = draws["theta"][:, :, 0]  # (K, S, n)
+        within_m.append(float(np.median(np.asarray(_within(theta)))))
+        pooled_m.append(float(np.median(np.asarray(pooled_j(theta)))))
+        _log(f"timed seed {s}: smc {smc_w:.1f}s + sampling {samp_w:.1f}s, "
+             f"within {within_m[-1]:.0f}, pooled {pooled_m[-1]:.0f}")
+    wall = smc_wall + samp_wall
+    total_iters = (sample_iterations + burn_iterations) * len(seeds)
+    within_sum, pooled_sum = sum(within_m), sum(pooled_m)
     return {
-        "ess_within_median": float(np.median(within)),
-        "ess_pooled_median": float(np.median(pooled)),
+        "ess_within_median": within_sum / len(seeds),
+        "ess_pooled_median": pooled_sum / len(seeds),
+        "ess_within_per_seed": within_m,
+        "ess_pooled_per_seed": pooled_m,
+        "n_seeds": len(seeds),
         "wall": wall,
         "smc_sec": smc_wall,
         "sampling_sec": samp_wall,
@@ -167,12 +180,12 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
         "iters_per_sec": total_iters / samp_wall,
         # the headline ess/sec still charges the FULL wall incl. SMC — the
         # annealing is part of the cost of the draws
-        "ess_per_sec": float(np.median(within)) / wall,
-        "ess_pooled_per_sec": float(np.median(pooled)) / wall,
+        "ess_per_sec": within_sum / wall,
+        "ess_pooled_per_sec": pooled_sum / wall,
         # per-chain per-draw statistical efficiency on this window length —
         # directly comparable to the baseline's measured ess_per_iter when
         # the windows match (both 500 draws by default)
-        "ess_per_iter": float(np.median(within)) / n_chains / sample_iterations,
+        "ess_per_iter": within_sum / len(seeds) / n_chains / sample_iterations,
         "compile_sec": t_compile,
         "n": n,
         "m": m,
@@ -214,12 +227,19 @@ def measure_native_baseline(repo_root, iters=10):
                  "-l:liblapack.so.3", "-l:libblas.so.3"],
                 check=True, capture_output=True, timeout=300,
             )
-        out = subprocess.run(
-            [exe, str(iters)], check=True, capture_output=True, timeout=1200,
-            cwd=repo_root, text=True,
-        )
-        info = json.loads(out.stdout.strip().splitlines()[-1])
-        return float(info["sec_per_iter"])
+        # best of 3: host-load noise only ever ADDS time to the single-core
+        # run (measured spread 0.65-1.08 s/iter across bench invocations),
+        # and an inflated baseline flatters vs_baseline
+        best = None
+        for _ in range(3):
+            out = subprocess.run(
+                [exe, str(iters)], check=True, capture_output=True,
+                timeout=1200, cwd=repo_root, text=True,
+            )
+            info = json.loads(out.stdout.strip().splitlines()[-1])
+            sec = float(info["sec_per_iter"])
+            best = sec if best is None else min(best, sec)
+        return best
     except Exception as e:  # noqa: BLE001 — bench must degrade gracefully
         print(f"baseline unavailable: {e}", file=sys.stderr)
         return None
@@ -487,7 +507,7 @@ def main():
                     choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k", "dynamic"])
     ap.add_argument("--f-method", default="auto",
                     choices=["auto", "conjugate", "grid", "two_stage"])
-    ap.add_argument("--smc-steps", type=int, default=192,
+    ap.add_argument("--smc-steps", type=int, default=320,
                     help="SMC annealed-init steps (0 disables)")
     ap.add_argument("--threshold-method", default="auto",
                     choices=["auto", "ess", "collapsed", "interleave",
