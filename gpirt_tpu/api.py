@@ -160,6 +160,14 @@ def gpirt_mcmc(
     — either way a fixed SEED reproduces the run on a fixed build, the
     reference's seeded-reproducibility contract, src/gpirtMCMC.cpp:267).
 
+    ``threshold_method`` selects the cutpoint update: "auto"/"ess" (the
+    reference's y-marginal delta ESS — the measured theta-mixing winner
+    and default), "collapsed" (exact z-box draw, fastest sweeps),
+    "interleave" (collapsed with periodic ESS), or "newton" (binary-only
+    Newton-proposal independence MH on the same y-marginal conditional:
+    +28% sweep rate at ``threshold_mh_tries`` passes, measured acceptance
+    ~0.91; see RESULTS.md threshold A/B for why "ess" stays the default).
+
     ``n_temps > 1`` runs each chain as a parallel-tempering group:
     ``n_temps - 1`` hot lanes on a geometric ladder up to ``max_temp``
     (observation noise sd sqrt(T)) with on-device adjacent swaps every

@@ -603,15 +603,32 @@ def draw_fstar_conjugate(
     H, n, m = z_resid.shape
     N = config.grid_size
     dt = z_resid.dtype
+    q = consts.U_se.shape[1]
     idx = state.theta_idx
     k_u, k_e = jax.random.split(key)
     sqrt_t, _ = _temp_scales(temp, dt)
+    hi = jax.lax.Precision.HIGHEST
 
-    # eigenbasis prior grid draw (see grid_prior_draw) — also MORE
-    # consistent with lowrank_bsolve's truncated-kernel conditional below
-    # than the exact-K L_grid draw was
-    ustar = grid_prior_draw(k_u, consts, config, (H,), m, dt)
-    u_theta = jnp.take_along_axis(ustar, idx[:, :, None], axis=1)  # (H, n, m)
+    # Eigenbasis prior draw + Matheron projection SHARE the basis
+    # U_grid = [U_se, Psi], so the whole draw factors through ONE
+    # (N, q+3) x (q+3, m) matmul:
+    #   u*     = U_grid z_c + sqrt(jitter) z_n          (grid_prior_draw)
+    #   f*     = u* + U_grid (U_theta^T alpha)
+    #          = U_grid (z_c + U_theta^T alpha) + sqrt(jitter) z_n
+    #   u(idx) = U_theta z_c + sqrt(jitter) z_n[idx]
+    # vs materializing u* first this deletes two of the three N-sized
+    # basis matmuls AND the (H, N, m) u* round trip through HBM (~214 MB
+    # per 64-chain sweep) — same values up to float reassociation (the
+    # key split mirrors grid_prior_draw, so the bit stream is unchanged).
+    k_q, k_p, k_n = jax.random.split(k_u, 3)
+    z_q = _normal2d(k_q, (H, q, m), dt)
+    z_p = _normal2d(k_p, (H, 3, m), dt)
+    z_n = _normal2d(k_n, (H, N, m), dt)
+    zc = jnp.concatenate([z_q, z_p], axis=1)  # (H, q+3, m)
+    sj = jnp.sqrt(jnp.asarray(config.jitter, dt))
+    U_theta = theta_site_basis(idx, consts)  # (H, n, q+3)
+    u_theta = (jnp.einsum("hnk,hkm->hnm", U_theta, zc, precision=hi)
+               + sj * jnp.take_along_axis(z_n, idx[:, :, None], axis=1))
     eps = _normal2d(k_e, (H, n, m), dt)
     if sqrt_t is not None:
         eps = eps * sqrt_t  # tempered observation noise sd sqrt(T)
@@ -619,21 +636,12 @@ def draw_fstar_conjugate(
     alpha, _ = lowrank_bsolve(
         idx, consts, z_resid - u_theta - eps, temp=temp
     )  # B^{-1} rhs via the rank-(q+3) capacitance — no (n, n) work
-    # K_{*theta} alpha through the gathered eigenbasis: K = U U^T (U =
-    # [U_se, Psi] rows of the master grid basis, exact to the ~1e-10
-    # eigendecomposition truncation lowrank_bsolve already works in), so
-    # K_{*theta} alpha = U_grid (U_theta^T alpha). vs the previous
-    # grid_gram_se[idx] route this deletes the (H, n, N) row gather and the
-    # (N, n) x (n, m) contraction (the block's HBM sink — measured 4.0 ->
-    # 2.4 ms at 64 senate116 chains) for two rank-(q+3) matmuls. The rank-3
-    # polynomial part still factors through the same basis, keeping the
-    # bf16-cancellation failure mode out (raw K entries are ~theta^4;
+    # The rank-3 polynomial part factors through the same basis, keeping
+    # the bf16-cancellation failure mode out (raw K entries are ~theta^4;
     # basis entries are O(1)); HIGHEST (true f32) precision throughout.
-    hi = jax.lax.Precision.HIGHEST
-    U_theta = theta_site_basis(idx, consts)  # (H, n, q+3)
     ua = jnp.einsum("hnk,hnm->hkm", U_theta, alpha, precision=hi)
     U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)  # (N, q+3)
-    fstar = ustar + jnp.einsum("ak,hkm->ham", U_grid, ua, precision=hi)
+    fstar = jnp.einsum("ak,hkm->ham", U_grid, zc + ua, precision=hi) + sj * z_n
     f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
     return fstar, f
 
