@@ -294,6 +294,7 @@ def bench_sdo(sample_iterations=500, burn_iterations=200):
     """SDO ordinal config: iterations/sec on the full 1500x16, C=5 survey."""
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
     from gpirt_tpu.models.sampler import run_chain
@@ -332,6 +333,7 @@ def bench_synthetic(n=5000, m=1000, sample_iterations=10, burn_iterations=5):
     """5k x 1k synthetic: large gathered Gram + Cholesky, batched ESS."""
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
     from gpirt_tpu.models.sampler import run_chain
@@ -377,6 +379,7 @@ def bench_dynamic(n=150, m=60, horizon=10, sample_iterations=300,
     """
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
     from gpirt_tpu.parallel.chains import chain_keys, run_chains_chunked
@@ -432,6 +435,7 @@ def bench_chains64(sample_iterations=300, burn_iterations=100):
     """64 chains over the local device mesh with pooled R-hat/ESS."""
     import jax
     import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
     from gpirt_tpu.parallel import run_chains, make_chain_mesh, chain_keys

@@ -326,14 +326,24 @@ def _fstar_matheron(key, f, theta_idx, consts, config):
     same way as lowrank_bsolve: equilibrated capacitance + one refinement.
     """
     H, n, m = f.shape
+    N = config.grid_size
     dt = f.dtype
-    ustar = grid_prior_draw(key, consts, config, (H,), m,
-                            dt)  # prior draws on grid
-    u_theta = jnp.take_along_axis(
-        ustar, theta_idx[:, :, None].astype(jnp.int32), axis=1
-    )  # (H, n, m)
+    q = consts.U_se.shape[1]
+    # prior draws on the grid, factored through the shared basis (see
+    # draw_fstar_conjugate): u* = U_grid z_c + sqrt(j) z_n is never
+    # materialized — its theta-site values come from the gathered basis and
+    # the final f* fuses the projection into the SAME U_grid matmul
+    k_q, k_p, k_n = jax.random.split(key, 3)
+    z_q = _normal2d(k_q, (H, q, m), dt)
+    z_p = _normal2d(k_p, (H, 3, m), dt)
+    z_n = _normal2d(k_n, (H, N, m), dt)
+    zc = jnp.concatenate([z_q, z_p], axis=1)  # (H, q+3, m)
+    sj = jnp.sqrt(jnp.asarray(config.jitter, dt))
     U = theta_site_basis(theta_idx, consts)  # (H, n, k)
     k = U.shape[-1]
+    u_theta = (jnp.einsum("hnk,hkm->hnm", U, zc, precision=_HI)
+               + sj * jnp.take_along_axis(
+                   z_n, theta_idx[:, :, None].astype(jnp.int32), axis=1))
     g = jnp.einsum("hnk,hnm->hkm", U, f - u_theta, precision=_HI)
     j = jnp.asarray(config.device_jitter, dt)
     C = j * jnp.eye(k, dtype=dt) + jnp.einsum(
@@ -350,7 +360,7 @@ def _fstar_matheron(key, f, theta_idx, consts, config):
     x = c_solve(g)
     x = x + c_solve(g - jnp.einsum("hkl,hlm->hkm", C, x, precision=_HI))
     U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)  # (N, k)
-    return ustar + jnp.einsum("ak,hkm->ham", U_grid, x, precision=_HI)
+    return jnp.einsum("ak,hkm->ham", U_grid, zc + x, precision=_HI) + sj * z_n
 
 
 def _fstar_chol(key, f, theta_idx, L, consts, config):
