@@ -311,10 +311,20 @@ def bench_sdo(sample_iterations=500, burn_iterations=200):
     ti = np.random.default_rng(0).permutation(np.linspace(-2, 2, n))[None]
     yj = jnp.asarray(y)
 
+    # ONE jitted program, data as arguments: an eager run_chain call
+    # re-traces its scans every call with the 20 MB y cube baked in as a
+    # program constant (measured ~24 s of host-side dispatch per call at
+    # the synthetic shape)
+    prog = jax.jit(lambda k, yy, t0_, th: run_chain(
+        k, yy, t0_, th, consts, config,
+        sample_iterations=sample_iterations,
+        burn_iterations=burn_iterations))
+    tij = jnp.asarray(ti, config.jdtype)
+    thj = jnp.asarray(thr, config.jdtype)
+
     def go(seed):
-        return run_chain(jax.random.key(seed, impl=config.resolved_prng_impl), yj, ti, thr, consts, config,
-                         sample_iterations=sample_iterations,
-                         burn_iterations=burn_iterations)
+        return prog(jax.random.key(seed, impl=config.resolved_prng_impl),
+                    yj, tij, thj)
 
     fetch_sync(go(9))
     t0 = time.time()
@@ -329,7 +339,7 @@ def bench_sdo(sample_iterations=500, burn_iterations=200):
                        "platform": jax.devices()[0].platform}}
 
 
-def bench_synthetic(n=5000, m=1000, sample_iterations=10, burn_iterations=5):
+def bench_synthetic(n=5000, m=1000, sample_iterations=150, burn_iterations=30):
     """5k x 1k synthetic: large gathered Gram + Cholesky, batched ESS."""
     import jax
     import jax.numpy as jnp
@@ -350,10 +360,16 @@ def bench_synthetic(n=5000, m=1000, sample_iterations=10, burn_iterations=5):
     ti = np.random.default_rng(0).permutation(np.linspace(-3, 3, n))[None]
     yj = jnp.asarray(y)
 
+    prog = jax.jit(lambda k, yy, t0_, th: run_chain(
+        k, yy, t0_, th, consts, config,
+        sample_iterations=sample_iterations,
+        burn_iterations=burn_iterations))
+    tij = jnp.asarray(ti, config.jdtype)
+    thj = jnp.asarray(thr, config.jdtype)
+
     def go(seed):
-        return run_chain(jax.random.key(seed, impl=config.resolved_prng_impl), yj, ti, thr, consts, config,
-                         sample_iterations=sample_iterations,
-                         burn_iterations=burn_iterations)
+        return prog(jax.random.key(seed, impl=config.resolved_prng_impl),
+                    yj, tij, thj)
 
     fetch_sync(go(9))
     t0 = time.time()

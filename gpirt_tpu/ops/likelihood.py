@@ -52,13 +52,24 @@ def cutpoint_bounds(y: jnp.ndarray, thresholds: jnp.ndarray):
 
     Returns:
       (z_lo, z_hi, mask): two ``(..., n, m)`` float arrays and a bool mask.
+      Infinite endpoint cutpoints come back clamped to +-1e30 (saturates
+      every downstream Phi identically and keeps 0 * endpoint finite).
     """
+    dt = thresholds.dtype
+    big = jnp.asarray(1e30, dt)
+    t_clip = jnp.clip(thresholds, -big, big)  # (..., m, C+1)
+    Cp1 = thresholds.shape[-1]
     ysafe = jnp.maximum(y, 1)
-    # thresholds: (..., m, C+1) -> broadcast over the n axis -> (..., 1, m, C+1)
-    thr = thresholds[..., None, :, :]
-    idx_hi = ysafe[..., None]
-    z_hi = jnp.take_along_axis(thr, idx_hi, axis=-1)[..., 0]
-    z_lo = jnp.take_along_axis(thr, idx_hi - 1, axis=-1)[..., 0]
+    # one-hot contractions over the length-(C+1) threshold axis instead of
+    # per-cell take_along_axis: the two random-access gathers measured
+    # ~100 ms PER SWEEP at (n, m) = (5000, 1000) on v5e (vs ~1 ms for the
+    # contraction) — the same pathology draw_z_truncnorm's bounds hit at 64
+    # senate chains. HIGHEST: default-bf16 dots would quantize the bounds.
+    oh_hi = jax.nn.one_hot(ysafe, Cp1, dtype=dt)      # (..., n, m, C+1)
+    oh_lo = jax.nn.one_hot(ysafe - 1, Cp1, dtype=dt)
+    hi_p = jax.lax.Precision.HIGHEST
+    z_hi = jnp.einsum("...nmc,...mc->...nm", oh_hi, t_clip, precision=hi_p)
+    z_lo = jnp.einsum("...nmc,...mc->...nm", oh_lo, t_clip, precision=hi_p)
     return z_lo, z_hi, y > 0
 
 
