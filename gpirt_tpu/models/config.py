@@ -66,6 +66,13 @@ class GPIRTConfig:
     threshold_mh_tries: int = 2  # MH tries per sweep for "newton" (each an
     # independence-MH step with proposal/reverse Newton stats; acceptance
     # is near 1, so 2 tries give near-iid conditional draws)
+    threshold_shift: bool = False  # extra exact Gibbs draw along the
+    # (all cutpoints of item j, beta0_j) likelihood-null shift direction
+    # each sweep (gibbs.draw_threshold_shift): the ordinal likelihood is
+    # exactly invariant, so the conditional is a closed-form 1-D Gaussian
+    # from the priors — de-anchors the O(1/sqrt(n))-narrow cutpoint
+    # conditional that three measurements showed rate-limits theta mixing.
+    # Skipped under constant_IRF. Default per measured A/B (RESULTS.md).
     # Collective affine MH moves on (theta, beta) with f* collapsed
     # (conjugate path only — they need the Albert-Chib z-marginal). These
     # traverse the global location/scale soft modes that dominate theta

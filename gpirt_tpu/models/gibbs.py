@@ -1525,6 +1525,51 @@ def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s):
                       jnp.full_like(t1, big)], axis=-1)  # (H, m, 3)
 
 
+def draw_threshold_shift(
+    key: jax.Array,
+    thresholds: jnp.ndarray,
+    beta: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+):
+    """Exact Gibbs draw along the (cutpoints, intercept) likelihood-null
+    direction: t_{jc} += delta_j for every cutpoint c AND beta0_j += delta_j.
+
+    The ordinal likelihood depends on (t_c - g) only, and beta0 enters g
+    additively for every respondent, so this direction leaves the
+    likelihood EXACTLY invariant (at any tempering T — it cancels). The
+    conditional over delta is therefore just the prior restricted to the
+    line: delta-space prior N(0, 1) on delta_0 = t_1 (gaps exp(delta_c)
+    are shift-invariant) x the beta block's N(0, sds0^2 + 1e-6) intercept
+    prior — a closed-form 1-D Gaussian per item, loop-free.
+
+    Why it exists: three independent measurements (collapsed draw,
+    ESS-round cap, Newton MH — RESULTS.md) showed within-theta mixing
+    tracks per-sweep cutpoint movement ~1:1; the cutpoint conditional is
+    O(1/sqrt(n))-narrow, so the y-marginal ESS can only creep. This move
+    lets (t, beta0) travel the prior-width soft mode in one exact draw —
+    the same interweaving idea as the beta-compensated theta shifts.
+
+    Not implemented for constant_IRF (the pooled-cutpoint prior structure
+    differs; the sweep skips the move there).
+
+    Returns (thresholds_new, beta_new, delta_h).
+    """
+    H, m, Cp1 = thresholds.shape
+    dt = thresholds.dtype
+    b0 = beta[:, 0, :]  # (H, m)
+    s0sq = (jnp.square(consts.beta_prior_sds[0]) + 1e-6).astype(dt)  # (m,)
+    t1 = thresholds[..., 1]  # (H, m) = delta_0
+    prec = 1.0 + 1.0 / s0sq  # (m,) broadcast over H
+    mean = -(t1 + b0 / s0sq) / prec  # (H, m)
+    delta_h = mean + jax.random.normal(key, mean.shape, dt) / jnp.sqrt(prec)
+    # shift every INTERIOR cutpoint; +-inf endpoints absorb the add
+    interior = jnp.zeros((Cp1,), bool).at[1:-1].set(True)
+    thr_new = jnp.where(interior, thresholds + delta_h[..., None], thresholds)
+    beta_new = beta.at[:, 0, :].add(delta_h)
+    return thr_new, beta_new, delta_h
+
+
 def draw_threshold(
     key: jax.Array,
     thresholds: jnp.ndarray,
@@ -1905,6 +1950,13 @@ def gibbs_sweep(
             thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y,
                                         config, temp)
         state = state._replace(thresholds=thresholds)
+        if config.threshold_shift and not config.constant_IRF:
+            thresholds, beta, dlt = draw_threshold_shift(
+                jax.random.fold_in(k_t, 1), thresholds, state.beta, consts,
+                config,
+            )
+            state = state._replace(thresholds=thresholds, beta=beta)
+            mu = mu + dlt[:, None, :]
         ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds, inv_s))
         return state, ll
 
@@ -1954,6 +2006,12 @@ def gibbs_sweep(
     mu = compute_mu(theta, beta)
     thresholds = draw_threshold(k_t, state.thresholds, f, mu, y, config)
     state = state._replace(thresholds=thresholds)
+    if config.threshold_shift and not config.constant_IRF:
+        thresholds, beta2, dlt = draw_threshold_shift(
+            jax.random.fold_in(k_t, 1), thresholds, state.beta, consts, config
+        )
+        state = state._replace(thresholds=thresholds, beta=beta2)
+        mu = mu + dlt[:, None, :]
 
     # 7. total log-likelihood trace
     ll = jnp.sum(ordinal_ll_terms(f + mu, y, thresholds))

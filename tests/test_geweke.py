@@ -402,6 +402,28 @@ class TestGewekeBinaryNewton:
         _run_geweke_sweep(config, n, m, H, seed=3)
 
 
+class TestGewekeThresholdShift:
+    """Joint-distribution oracle for the (cutpoints, beta0) shift move
+    (gibbs.draw_threshold_shift): the likelihood-null Gibbs draw must use
+    exactly the blocks' priors (N(0,1) on delta_0, N(0, sds0^2 + 1e-6) on
+    beta0) or the t/beta marginals drift — t1/t12/b/b2 here detect it."""
+
+    def test_shift_binary_conjugate_masked(self):
+        n, m, H, C, N = 6, 3, 1, 2, 61
+        mask = jnp.asarray(np.random.default_rng(11).random((H, n, m)) > 0.3)
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             threshold_shift=True)
+        _run_geweke_sweep(config, n, m, H, mask=mask)
+
+    def test_shift_ordinal_grid(self):
+        n, m, H, C, N = 6, 3, 1, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="grid",
+                             threshold_shift=True)
+        _run_geweke_sweep(config, n, m, H, seed=5)
+
+
 class TestGewekeTwoStage:
     def test_joint_distribution_two_stage(self):
         """Oracle for f_method='two_stage' — the reference's draw_f ESS +
