@@ -622,3 +622,72 @@ class TestInterleavedThreshold:
         cfg = GPIRTConfig(n=4, m=3, f_method="conjugate",
                           threshold_method="interleave")
         assert cfg.resolved_threshold_method == "interleave"
+
+
+class TestThresholdShift:
+    def test_likelihood_invariant_and_gaussian(self):
+        """draw_threshold_shift moves along the likelihood-null direction:
+        the ordinal ll must be EXACTLY unchanged (up to float) when mu is
+        shifted with the cutpoints, and the delta marginal must be the
+        closed-form Gaussian from the delta-space/intercept priors."""
+        from scipy import stats as st
+        from gpirt_tpu.models.gibbs import draw_threshold_shift, compute_mu
+        from gpirt_tpu.models.config import make_constants
+        from gpirt_tpu.ops.likelihood import ordinal_ll_terms
+
+        rng = np.random.default_rng(3)
+        n, m, H, C = 12, 4, 2, 3
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype="float64",
+                             grid_size=41, theta_ls=1.0,
+                             threshold_shift=True)
+        consts = make_constants(
+            config,
+            beta_prior_means=np.zeros((3, m)),
+            beta_prior_sds=np.asarray([[2.0, 3.0, 1.0, 0.5]] * 3),
+            theta_prior_means=np.zeros((2, n)),
+            theta_prior_sds=np.zeros((2, n)),
+        )
+        y = rng.integers(0, C + 1, (H, n, m)).astype(np.int32)
+        theta = jnp.asarray(rng.normal(size=(H, n)))
+        beta = jnp.asarray(rng.normal(size=(H, 3, m)))
+        f = jnp.asarray(rng.normal(size=(H, n, m)))
+        from gpirt_tpu.ops.likelihood import delta_to_threshold
+        thr = delta_to_threshold(jnp.asarray(rng.normal(size=(H, m, C - 1))))
+        mu = compute_mu(theta, beta)
+        ll0 = ordinal_ll_terms(f + mu, jnp.asarray(y), thr)
+
+        S = 4000
+        outs = jax.vmap(
+            lambda k: draw_threshold_shift(k, thr, beta, consts, config)
+        )(jax.random.split(jax.random.key(0), S))
+        thr_s, beta_s, delta_s = outs
+
+        # (a) exact likelihood invariance for every draw (spot-check 16)
+        for s in range(0, S, S // 16):
+            mu_s = compute_mu(theta, beta_s[s])
+            ll_s = ordinal_ll_terms(f + mu_s, jnp.asarray(y), thr_s[s])
+            np.testing.assert_allclose(np.asarray(ll_s), np.asarray(ll0),
+                                       rtol=0, atol=1e-9)
+        # (b) gaps between cutpoints unchanged; endpoints stay infinite
+        gaps0 = np.diff(np.asarray(thr)[..., 1:-1], axis=-1)
+        gaps_s = np.diff(np.asarray(thr_s)[..., 1:-1], axis=-1)
+        np.testing.assert_allclose(gaps_s, np.broadcast_to(gaps0, gaps_s.shape),
+                                   atol=1e-12)
+        assert np.all(np.isneginf(np.asarray(thr_s)[..., 0]))
+        assert np.all(np.isposinf(np.asarray(thr_s)[..., -1]))
+        # (c) delta marginal matches the closed-form Gaussian per lane
+        t1 = np.asarray(thr)[..., 1]
+        b0 = np.asarray(beta)[:, 0, :]
+        s0sq = np.asarray(consts.beta_prior_sds)[0] ** 2 + 1e-6
+        prec = 1.0 + 1.0 / s0sq
+        mean = -(t1 + b0 / s0sq) / prec
+        sd = 1.0 / np.sqrt(prec)
+        d = np.asarray(delta_s)  # (S, H, m)
+        for h in range(H):
+            for j in range(m):
+                ks = st.kstest(d[:, h, j],
+                               st.norm(mean[h, j], sd[j]).cdf).statistic
+                assert ks < 0.035, (h, j, ks)
+        # (d) intercept moved with the cutpoints
+        np.testing.assert_allclose(
+            np.asarray(beta_s)[:, :, 0, :], b0[None] + d, atol=1e-12)
