@@ -148,9 +148,10 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
 
     # the per-seed median-within ESS of a 64-chain campaign varies ~2-3x
     # across seeds (the SMC placement and the soft-mode basin draw are a
-    # lottery; measured seeds 1-3: within 2045/2570/6737); three timed
-    # seeds make the recorded rate a campaign average instead of one ticket
-    seeds, within_m, pooled_m = (1, 2, 3), [], []
+    # lottery; measured seeds 1-3: within 2045/2570/6737); five timed
+    # seeds (~5.5 s each) make the recorded rate a campaign average
+    # instead of one ticket
+    seeds, within_m, pooled_m = (1, 2, 3, 4, 5), [], []
     smc_wall = samp_wall = 0.0
     for s in seeds:
         draws, smc_w, samp_w = go(s)

@@ -66,6 +66,14 @@ class GPIRTConfig:
     threshold_mh_tries: int = 2  # MH tries per sweep for "newton" (each an
     # independence-MH step with proposal/reverse Newton stats; acceptance
     # is near 1, so 2 tries give near-iid conditional draws)
+    threshold_ess_twophase: bool = True  # binary ESS cutpoint update:
+    # continue rounds past 6 on an L/4-compacted straggler subset (same
+    # Markov kernel — a true continuation of one update, NOT a fresh
+    # re-update of bailed lanes, which would be biased). The lockstep
+    # while_loop otherwise costs the max accept round over all lanes
+    # (~12-17) while the mean lane needs ~3. Measured +7% sweep rate at 64
+    # senate chains with the identical kernel; default ON (False gives the
+    # plain full-batch loop).
     threshold_shift: bool = False  # extra exact Gibbs draw along the
     # (all cutpoints of item j, beta0_j) likelihood-null shift direction
     # each sweep (gibbs.draw_threshold_shift): the ordinal likelihood is

@@ -56,6 +56,7 @@ from gpirt_tpu.ops.likelihood import (
 from gpirt_tpu.ops.linalg import chol3, chol_with_jitter, tri3_solve, tri_solve
 
 _SQRT2 = 1.4142135623730951
+_TWO_PI = 6.283185307179586
 
 __all__ = [
     "GPIRTState",
@@ -1525,6 +1526,91 @@ def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s):
                       jnp.full_like(t1, big)], axis=-1)  # (H, m, 3)
 
 
+def _ess_binary_twophase(key, x, nu, ll_full, ll_rows, *, r1, max_rounds,
+                         s_max):
+    """One ESS update over flat scalar lanes, later rounds compacted.
+
+    Identical Markov kernel to ``ess_update`` at d = 1 (same slice
+    threshold, same bracket-shrink recursion, same bail-at-cap identity) —
+    only the COMPUTE is restructured: after ``r1`` full-batch rounds
+    (chosen ≈ the p90 accept round, so ~10% of lanes remain), the
+    still-active lanes' bracket state is gathered into ``s_max`` compacted
+    rows and the remaining rounds evaluate the likelihood only there
+    (~L/s_max× cheaper per round). Lanes still active beyond ``s_max``
+    capacity keep their state (the standard max-rounds identity bail —
+    exact, Geweke-proven at binding caps). NOTE this is a CONTINUATION of
+    one update; re-running a fresh ESS only on bailed lanes would NOT be
+    invariant (the bail event tilts the conditional).
+
+    Args:
+      x, nu: (L,) current state / prior draw per lane.
+      ll_full: (L,) -> (L,) log-likelihood for all lanes.
+      ll_rows: (idx (S,), vals (S,)) -> (S,) log-likelihood for a lane
+        subset.
+    """
+    L = x.shape[0]
+    dt = x.dtype
+    k_u, k_eps, k_p1, k_p2 = jax.random.split(key, 4)
+    u = jax.random.uniform(k_u, (L,), dtype=dt)
+    log_y = ll_full(x) + jnp.log(u)
+    eps = jax.random.uniform(k_eps, (L,), dtype=dt, maxval=_TWO_PI)
+    lo, hi = eps - _TWO_PI, jnp.full((L,), _TWO_PI, dt)
+    active = jnp.ones((L,), bool)
+
+    def body1(carry):
+        key, x_out, eps, lo, hi, act, r = carry
+        prop = x * jnp.cos(eps) + nu * jnp.sin(eps)
+        accept = ll_full(prop) > log_y
+        newly = act & accept
+        x_out = jnp.where(newly, prop, x_out)
+        still = act & ~accept
+        lo = jnp.where(still & (eps < 0), eps, lo)
+        hi = jnp.where(still & (eps >= 0), eps, hi)
+        key, k_r = jax.random.split(key)
+        rr = jax.random.uniform(k_r, (L,), dtype=dt)
+        eps = jnp.where(still, lo + rr * (hi - lo), eps)
+        return key, x_out, eps, lo, hi, still, r + 1
+
+    def cond1(carry):
+        return jnp.logical_and(jnp.any(carry[5]), carry[6] < r1)
+
+    _, x1, eps, lo, hi, active, _ = jax.lax.while_loop(
+        cond1, body1, (k_p1, x, eps, lo, hi, active, jnp.zeros((), jnp.int32))
+    )
+
+    # compact: still-active lanes first (stable argsort of the bail mask)
+    idx = jnp.argsort(~active, stable=True)[:s_max]
+    act_s = active[idx]
+    x_s, nu_s = x[idx], nu[idx]
+    ly_s = log_y[idx]
+    xo_s, eps_s, lo_s, hi_s = x1[idx], eps[idx], lo[idx], hi[idx]
+
+    def body2(carry):
+        key, x_out, eps, lo, hi, act, r = carry
+        prop = x_s * jnp.cos(eps) + nu_s * jnp.sin(eps)
+        accept = ll_rows(idx, prop) > ly_s
+        newly = act & accept
+        x_out = jnp.where(newly, prop, x_out)
+        still = act & ~accept
+        lo = jnp.where(still & (eps < 0), eps, lo)
+        hi = jnp.where(still & (eps >= 0), eps, hi)
+        key, k_r = jax.random.split(key)
+        rr = jax.random.uniform(k_r, (s_max,), dtype=dt)
+        eps = jnp.where(still, lo + rr * (hi - lo), eps)
+        return key, x_out, eps, lo, hi, still, r + 1
+
+    def cond2(carry):
+        return jnp.logical_and(jnp.any(carry[5]),
+                               carry[6] < max_rounds - r1)
+
+    _, xo_s, _, _, _, _, _ = jax.lax.while_loop(
+        cond2, body2,
+        (k_p2, xo_s, eps_s, lo_s, hi_s, act_s, jnp.zeros((), jnp.int32)),
+    )
+    # scatter: only lanes that were genuinely active (overflow rows keep x1)
+    return x1.at[idx].set(jnp.where(act_s, xo_s, x1[idx]))
+
+
 def draw_threshold_shift(
     key: jax.Array,
     thresholds: jnp.ndarray,
@@ -1627,6 +1713,35 @@ def draw_threshold(
                                     (H, m, Cp1))
         delta = threshold_to_delta(thresholds)  # (H, m, C-1)
         nu = jax.random.normal(k_nu, delta.shape, dt)
+        if config.threshold_ess_twophase:
+            # continuation-compacted rounds: the lockstep while_loop costs
+            # the MAX accept round over all lanes (~12-17 on senate116)
+            # while the mean lane needs 2.9; after r1 = 6 full rounds
+            # (~p90) the stragglers continue on an L/4-row gather (the
+            # ~10% active lanes overflow this capacity ~never). For
+            # binary data delta is the scalar t_1, so endpoints/log-gap
+            # transforms drop out of the lane math entirely.
+            L = H * m
+            s_max = max(min(L, 32), L // 8)
+            # (H, m, n) lane-major copies for the compacted rows
+            g_rows = jnp.swapaxes(g, -1, -2).reshape(L, -1)
+            s_rows = jnp.swapaxes(sgn, -1, -2).reshape(L, -1)
+            obs_rows = jnp.swapaxes(y > 0, -1, -2).reshape(L, -1)
+            floor_ = floor
+
+            def ll_full(t_flat):
+                return _binary_ll(t_flat.reshape(H, m), False).reshape(L)
+
+            def ll_rows(idx, t_s):
+                xr = s_rows[idx] * (t_s[:, None] - g_rows[idx]) * c
+                term = jnp.log(0.5 * (1.0 + jax.lax.erf(xr)) + floor_)
+                return jnp.sum(term * obs_rows[idx], axis=1)
+
+            t_new = _ess_binary_twophase(
+                k_ess, delta[..., 0].reshape(L), nu[..., 0].reshape(L),
+                ll_full, ll_rows, r1=6, max_rounds=config.ess_max_rounds,
+                s_max=s_max)
+            return delta_to_threshold(t_new.reshape(H, m)[..., None])
         d_new = ess_update(
             k_ess, delta, nu,
             lambda d: _binary_ll(delta_to_threshold(d)[..., 1], False),
