@@ -153,8 +153,24 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             u = jax.random.uniform(jax.random.fold_in(k_res, i), ())
             idx = _systematic_src(w, u)
             do = ess_w < ess_threshold * K
-            src = jnp.where(do, idx, jnp.arange(K))
-            s = _take_global(s, src)
+            if ax is None:
+                # gate the full-state lane gather: ~2/3 of steps skip the
+                # resample. Measured at bench scale (senate116, 64 chains,
+                # 320 steps) the win is only ~1% — the unconditional lane
+                # gather was already cheap — but the gate is exact
+                # (identical resample decisions, scripts/probe_smc_wall.py)
+                # and its saving grows with lane-state bytes. Single-device
+                # only: under a mesh the gather is an all_gather
+                # collective, which cannot sit under lax.cond.
+                s = jax.lax.cond(
+                    do,
+                    lambda ss: jax.tree_util.tree_map(lambda a: a[idx], ss),
+                    lambda ss: ss,
+                    s,
+                )
+            else:
+                src = jnp.where(do, idx, jnp.arange(K))
+                s = _take_global(s, src)
             logw = jnp.where(do, jnp.zeros_like(logw), logw)
             # 3) mutate: tempered sweeps at t_new
             for r in range(sweeps_per_step):
