@@ -1333,8 +1333,20 @@ def _draw_theta_grid(key, state, mu_star, y, consts, config, temp=None) -> jnp.n
     Lam = consts.Lambda_time  # (H, H)
     theta = theta_from_indices(state.theta_idx, consts)  # (H, n)
 
+    # Gumbel noise for all H session draws up front (bit-identical to
+    # drawing inside the scan: session h uses split(key, H)[h] either way)
+    # — one batched RNG call instead of H scan-carried ones. Hoisting is
+    # also load-bearing: with the rbg PRNG, RngBitGenerator ops inside
+    # this scan miscompile on TPU when the sweep's ll output is dead-code
+    # -eliminated (the burn-phase advance program) — the worker dies with
+    # a kernel fault. Reproduced/verified by scripts/probe_dynamic_crash.py.
+    keys = jax.random.split(key, H)
+    gumbel = -jnp.log(-jnp.log(jax.vmap(
+        lambda k: _uniform2d(k, (n, N), dt)
+    )(keys)))  # (H, n, N)
+
     def step(theta, inputs):
-        h, k = inputs
+        h, g = inputs
         lam_row = Lam[h]  # (H,)
         lam_hh = lam_row[h]
         # conditional mean: -1/Lam_hh * sum_{h' != h} Lam_{h,h'} theta_{h'}
@@ -1343,12 +1355,11 @@ def _draw_theta_grid(key, state, mu_star, y, consts, config, temp=None) -> jnp.n
         var = 1.0 / lam_hh
         logprior = -0.5 * jnp.square(grid[None, :] - mean[:, None]) / var  # (n,N)
         logits = table[h].T + logprior  # (n, N)
-        idx = _gumbel_argmax(k, logits, axis=1)  # (n,)
+        idx = jnp.argmax(logits + g, axis=1).astype(jnp.int32)  # (n,)
         theta = theta.at[h].set(grid[idx])
         return theta, idx
 
-    keys = jax.random.split(key, H)
-    theta, idxs = jax.lax.scan(step, theta, (jnp.arange(H), keys))
+    theta, idxs = jax.lax.scan(step, theta, (jnp.arange(H), gumbel))
     return idxs  # (H, n) in scan order == session order
 
 

@@ -23,7 +23,12 @@ from gpirt_tpu.utils.response import encode_categories
 from gpirt_tpu.api import default_thresholds
 from gpirt_tpu.utils.profiling import fetch_sync
 
-n_chains, smc_steps, max_temp = 64, 320, 64.0
+import argparse
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--steps", type=int, default=320)
+_ap.add_argument("--sweeps", type=int, default=1)
+_a = _ap.parse_args()
+n_chains, smc_steps, max_temp = 64, _a.steps, 64.0
 
 rm, _, _ = senate116_response_matrix()
 y, C, _ = encode_categories(np.asarray(rm))
@@ -46,7 +51,8 @@ yj = jnp.asarray(y)
 t0 = time.time()
 keys = chain_keys(99, n_chains, impl=config.resolved_prng_impl)
 states, info = anneal_init(keys, yj, theta_init, thr, consts, config,
-                           n_steps=smc_steps, max_temp=max_temp)
+                           n_steps=smc_steps, max_temp=max_temp,
+                           sweeps_per_step=_a.sweeps)
 fetch_sync(states)
 print(f"warmup (compile): {time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -55,7 +61,8 @@ for s in (1, 2, 3, 4, 5):
     keys = chain_keys(s, n_chains, impl=config.resolved_prng_impl)
     t0 = time.time()
     states, info = anneal_init(keys, yj, theta_init, thr, consts, config,
-                               n_steps=smc_steps, max_temp=max_temp)
+                               n_steps=smc_steps, max_temp=max_temp,
+                               sweeps_per_step=_a.sweeps)
     fetch_sync(states)
     w = time.time() - t0
     walls.append(w)
