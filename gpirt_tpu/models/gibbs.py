@@ -1236,6 +1236,7 @@ def _theta_ll_table(
     thresholds: jnp.ndarray,
     C: int,
     inv_s=None,
+    item_axis=None,
 ) -> jnp.ndarray:
     """Per-respondent log-likelihood at EVERY grid point: (H, N, n).
 
@@ -1250,6 +1251,12 @@ def _theta_ll_table(
 
     The table then makes every theta ESS round a pure gather — and enables
     the exact grid-Gibbs conditional draw (theta_method="grid").
+
+    ``item_axis``: mesh axis name when the item dimension m is sharded
+    across devices (parallel/items.py). The local contraction covers this
+    shard's items; the psum completes the sum over all items — the ONE
+    collective of the item-sharded sweep (the table is the only place
+    items couple across the sweep).
     """
     gstar = fstar + mu_star  # (H, N, m)
     logp = _category_logprobs(gstar, thresholds[:, None], C, inv_s)  # (H, N, m, C)
@@ -1257,8 +1264,11 @@ def _theta_ll_table(
     # HIGHEST: with TPU bf16-default matmuls this (m*C)-deep reduction of
     # O(10)-sized log-probs carries +-1-4 absolute noise, visibly distorting
     # the exact grid-Gibbs conditional; true-f32 passes cost < 1 ms here.
-    return jnp.einsum("hkjc,hijc->hki", logp, onehot,
-                      precision=jax.lax.Precision.HIGHEST)
+    table = jnp.einsum("hkjc,hijc->hki", logp, onehot,
+                       precision=jax.lax.Precision.HIGHEST)
+    if item_axis is not None:
+        table = jax.lax.psum(table, item_axis)
+    return table
 
 
 def _table_lookup(table: jnp.ndarray, idx_hn: jnp.ndarray) -> jnp.ndarray:
@@ -1281,6 +1291,7 @@ def draw_theta(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     temp=None,
+    item_axis=None,
 ) -> jnp.ndarray:
     """Redraw theta on the grid. Returns new theta_idx (H, n).
 
@@ -1296,21 +1307,27 @@ def draw_theta(
         local ESS walk and costs one fused broadcast-reduce.
       * "ess": the reference *code*'s ESS + grid-snap update
         (src/draw-theta.cpp:26-84, 165-168), kept for parity validation.
+
+    ``item_axis``: items sharded over this mesh axis (the table psum is the
+    only collective; ``key`` must be the REPLICATED key so every shard draws
+    the identical theta — see gibbs_sweep).
     """
     if config.theta_method == "grid":
-        return _draw_theta_grid(key, state, mu_star, y, consts, config, temp)
+        return _draw_theta_grid(key, state, mu_star, y, consts, config, temp,
+                                item_axis)
     if temp is not None:
         raise NotImplementedError("tempering needs theta_method='grid'")
-    return _draw_theta_ess(key, state, mu_star, y, consts, config)
+    return _draw_theta_ess(key, state, mu_star, y, consts, config, item_axis)
 
 
-def _draw_theta_grid(key, state, mu_star, y, consts, config, temp=None) -> jnp.ndarray:
+def _draw_theta_grid(key, state, mu_star, y, consts, config, temp=None,
+                     item_axis=None) -> jnp.ndarray:
     H, n = state.theta_idx.shape
     dt = state.f.dtype
     N = config.grid_size
     _, inv_s = _temp_scales(temp, dt)
     table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds,
-                            config.C, inv_s)  # (H,N,n)
+                            config.C, inv_s, item_axis)  # (H,N,n)
     grid = consts.grid  # (N,)
     regime = config.theta_regime
 
@@ -1363,10 +1380,12 @@ def _draw_theta_grid(key, state, mu_star, y, consts, config, temp=None) -> jnp.n
     return idxs  # (H, n) in scan order == session order
 
 
-def _draw_theta_ess(key, state, mu_star, y, consts, config) -> jnp.ndarray:
+def _draw_theta_ess(key, state, mu_star, y, consts, config,
+                    item_axis=None) -> jnp.ndarray:
     H, n = state.theta_idx.shape
     dt = state.f.dtype
-    table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds, config.C)  # (H,N,n)
+    table = _theta_ll_table(state.fstar, mu_star, y, state.thresholds,
+                            config.C, item_axis=item_axis)  # (H,N,n)
     theta = theta_from_indices(state.theta_idx, consts)  # (H, n)
     clamp = lambda v: jnp.clip(v, THETA_LO, THETA_HI)
     k_nu, k_ess = jax.random.split(key)
@@ -1903,6 +1922,7 @@ def init_state(
     y: jnp.ndarray,
     consts: GPIRTConstants,
     config: GPIRTConfig,
+    item_axis=None,
 ) -> GPIRTState:
     """Draw initial f and beta from their priors (src/gpirtMCMC.cpp:148-227).
 
@@ -1910,10 +1930,15 @@ def init_state(
     (clamped) continuous init for exactly one iteration before the first snap;
     with a 0.01-step grid this is a sub-MC-error difference we take for the
     gather-everything design. Deliberate divergence, documented in SURVEY 7.3.
+
+    ``item_axis``: items sharded over this mesh axis — every init draw is
+    per-item, so the whole init is local given a per-shard folded key.
     """
     H, n, m = y.shape
     dt = config.jdtype
     theta_idx = snap_indices(jnp.asarray(theta_init, dt), config)  # (H, n)
+    if item_axis is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(item_axis))
     k_beta, k_f, k_fstar = jax.random.split(key, 3)
 
     if config.resolved_f_method in ("grid", "conjugate"):
@@ -1976,6 +2001,7 @@ def gibbs_sweep(
     config: GPIRTConfig,
     temp=None,
     iteration=None,
+    item_axis=None,
 ) -> Tuple[GPIRTState, jnp.ndarray]:
     """One full Gibbs iteration. Returns (new_state, total log-likelihood).
 
@@ -1995,12 +2021,41 @@ def gibbs_sweep(
     sweeps run the y-marginal ESS cutpoint update (i % threshold_ess_every
     == 0) vs the collapsed draw. It deliberately does NOT enter the key
     schedule — callers already fold the iteration into ``key``.
+
+    ``item_axis``: mesh axis name when the ITEM dimension m is sharded
+    across devices under shard_map (parallel/items.py — the TPU-native
+    mapping of the reference's OpenMP-over-items fan-out,
+    src/draw-f.cpp:67-69 etc., onto ICI). Per-item state (f, fstar, beta,
+    thresholds, z) and every per-item block stay device-local; the sweep's
+    only collectives are the theta-table psum and the ll-trace psum.
+    Key discipline: item-local blocks fold this shard's axis_index into
+    their keys (independent streams per shard); the theta draw uses the
+    REPLICATED key so every shard samples the identical theta from the
+    identical psum'd table. Conjugate path only.
     """
     if temp is not None and config.resolved_f_method != "conjugate":
         raise NotImplementedError(
             "tempering is implemented for f_method='conjugate' only"
         )
+    if item_axis is not None:
+        if config.resolved_f_method != "conjugate":
+            raise NotImplementedError(
+                "item-sharded sweeps need f_method='conjugate'"
+            )
+        if config.affine_rounds > 0 or config.affine_shift_max > 0:
+            raise NotImplementedError(
+                "affine theta moves are not item-sharded (their z-marginal "
+                "evaluations reduce over items); disable them under item_axis"
+            )
     k_f, k_fs, k_th, k_b, k_t = jax.random.split(key, 5)
+    if item_axis is not None:
+        # independent per-shard streams for the item-local blocks; k_th
+        # stays replicated (every shard must draw the same theta)
+        shard = jax.lax.axis_index(item_axis)
+        k_f = jax.random.fold_in(k_f, shard)
+        k_fs = jax.random.fold_in(k_fs, shard)
+        k_b = jax.random.fold_in(k_b, shard)
+        k_t = jax.random.fold_in(k_t, shard)
 
     mu_star = compute_mu_star(consts, state.beta)
 
@@ -2020,7 +2075,7 @@ def gibbs_sweep(
         for s in range(config.mix_subsweeps):
             theta_idx = draw_theta(
                 jax.random.fold_in(k_th, s), state, mu_star, y, consts,
-                config, temp,
+                config, temp, item_axis,
             )
             f = jnp.take_along_axis(state.fstar, theta_idx[:, :, None], axis=1)
             state = state._replace(theta_idx=theta_idx, f=f)
@@ -2084,6 +2139,8 @@ def gibbs_sweep(
             state = state._replace(thresholds=thresholds, beta=beta)
             mu = mu + dlt[:, None, :]
         ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds, inv_s))
+        if item_axis is not None:
+            ll = jax.lax.psum(ll, item_axis)
         return state, ll
 
     if config.resolved_f_method == "grid":

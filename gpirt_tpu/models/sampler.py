@@ -87,6 +87,7 @@ def run_chain(
     store_f: bool = False,
     store_fstar: bool = False,
     initial_state=None,
+    item_axis=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run one MCMC chain; returns a dict of stacked draws.
 
@@ -100,6 +101,11 @@ def run_chain(
     (k_init is split but unused) so a given (key, iteration) always maps to
     the same sweep randomness with or without a supplied state.
 
+    ``item_axis``: mesh axis name when the ITEM dimension is sharded across
+    devices (run under shard_map via parallel/items.py). y, thresholds and
+    the per-item state/draws are this device's item shard; see
+    gibbs_sweep's item_axis notes for the key/collective discipline.
+
     Returns:
       dict with "theta" (S, H, n), "beta" (S, H, 3, m),
       "threshold" (S, H, m, C+1), "ll" (S,), and optionally "f" (S, H, n, m)
@@ -109,13 +115,13 @@ def run_chain(
     k_init, k_run = jax.random.split(key)
     if initial_state is None:
         state = init_state(k_init, theta_init, thresholds_init, y, consts,
-                           config)
+                           config, item_axis)
     else:
         state = initial_state
 
     def sweep(state, it):
         return gibbs_sweep(state, jax.random.fold_in(k_run, it), y, consts,
-                           config, iteration=it)
+                           config, iteration=it, item_axis=item_axis)
 
     def advance(state, start, count):
         if count <= 0:
