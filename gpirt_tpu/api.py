@@ -129,6 +129,7 @@ def gpirt_mcmc(
     prng_impl: str = "auto",
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
+    item_axis: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 200,
     n_temps: int = 1,
@@ -154,7 +155,11 @@ def gpirt_mcmc(
 
     TPU-specific keywords: ``dtype`` (float32 on TPU; float64 for CPU parity
     runs), ``fstar_method`` ("matheron" fast path / "chol" reference-style),
-    ``mesh`` to spread chains over devices, ``prng_impl`` ("auto" = the
+    ``mesh`` to spread chains over devices — pass ``item_axis`` naming a
+    mesh axis to ALSO shard the item dimension model-parallel (per-item
+    state and blocks device-local, one theta-table psum per sweep;
+    parallel/items.py — the TPU mapping of the reference's OpenMP
+    item fan-out), ``prng_impl`` ("auto" = the
     TPU-native rbg bit generator on TPU, threefry elsewhere; pass
     "threefry2x32" for a bit stream that is stable across JAX/XLA versions
     — either way a fixed SEED reproduces the run on a fixed build, the
@@ -214,6 +219,17 @@ def gpirt_mcmc(
             "mesh is not supported with checkpointed runs yet; plain "
             "multi-chain, SMC-initialized, and tempered runs accept a mesh"
         )
+    if item_axis is not None:
+        if mesh is None or item_axis not in mesh.shape:
+            raise ValueError(
+                f"item_axis={item_axis!r} needs a mesh with that axis name "
+                "(e.g. parallel.make_item_mesh)"
+            )
+        if smc_steps > 0 or n_temps > 1 or checkpoint_path is not None:
+            raise ValueError(
+                "item_axis supports the plain multi-chain path only (no "
+                "SMC init, tempering, or checkpointing yet)"
+            )
 
     if vote_codes is not None:
         stripped = _strip_h(data)
@@ -455,6 +471,20 @@ def gpirt_mcmc(
             burn_iterations=burn_iterations,
             thin=THIN, store_f=store_f, store_fstar=store_fstar,
             on_progress=on_progress, chunk_iterations=chunk_iterations,
+        )
+    elif item_axis is not None:
+        # item-axis model parallelism: per-item state and blocks shard over
+        # mesh[item_axis] (optionally chains x items 2-D); see
+        # parallel/items.py
+        from gpirt_tpu.parallel.items import run_chains_itemsharded
+
+        draws = run_chains_itemsharded(
+            chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl),
+            jnp.asarray(y), th_inits, thresholds_init, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN, store_f=store_f, store_fstar=store_fstar,
+            mesh=mesh, item_axis=item_axis,
         )
     else:
         draws = run_chains(

@@ -170,6 +170,36 @@ class TestItemShardedDriver:
                 sample_iterations=1, burn_iterations=0, mesh=mesh,
             )
 
+    def test_api_item_axis(self):
+        """gpirt_mcmc(mesh=..., item_axis=...) end to end."""
+        from gpirt_tpu.api import gpirt_mcmc
+
+        theta_true, y, _, _, _, _ = _setup(n=12, m=8)
+        mesh = make_item_mesh(4, 2)
+        out = gpirt_mcmc(
+            np.asarray(y[0], float), sample_iterations=10, burn_iterations=5,
+            CHAIN=2, vote_codes=None, dtype="float64", verbose=False,
+            mesh=mesh, item_axis="items",
+        )
+        assert len(out) == 2
+        assert out[0]["theta"].shape == (10, 12, 1)
+        assert out[0]["beta"].shape == (10, 3, 8, 1)
+        assert np.all(np.isfinite(out[0]["ll"]))
+
+    def test_api_item_axis_validation(self):
+        from gpirt_tpu.api import gpirt_mcmc
+
+        _, y, _, _, _, _ = _setup(n=12, m=8)
+        with pytest.raises(ValueError):  # no mesh
+            gpirt_mcmc(np.asarray(y[0], float), sample_iterations=1,
+                       burn_iterations=0, vote_codes=None, verbose=False,
+                       item_axis="items")
+        mesh = make_item_mesh(4, 2)
+        with pytest.raises(ValueError):  # SMC combination unsupported
+            gpirt_mcmc(np.asarray(y[0], float), sample_iterations=1,
+                       burn_iterations=0, vote_codes=None, verbose=False,
+                       mesh=mesh, item_axis="items", smc_steps=8)
+
     def test_non_conjugate_raises(self):
         _, y, ti, thr, consts, config = _setup(n=12, m=8)
         config = GPIRTConfig(n=config.n, m=config.m, horizon=config.horizon,
