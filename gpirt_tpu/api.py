@@ -225,10 +225,10 @@ def gpirt_mcmc(
                 f"item_axis={item_axis!r} needs a mesh with that axis name "
                 "(e.g. parallel.make_item_mesh)"
             )
-        if smc_steps > 0 or n_temps > 1 or checkpoint_path is not None:
+        if n_temps > 1 or checkpoint_path is not None:
             raise ValueError(
-                "item_axis supports the plain multi-chain path only (no "
-                "SMC init, tempering, or checkpointing yet)"
+                "item_axis supports the plain and SMC-initialized paths "
+                "only (no tempering or checkpointing yet)"
             )
 
     if vote_codes is not None:
@@ -420,12 +420,22 @@ def gpirt_mcmc(
         states, info = anneal_init(
             keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
             n_steps=smc_steps, max_temp=smc_max_temp, mesh=mesh,
+            item_axis=item_axis,
         )
         if verbose:
             print(f"[gpirt] SMC init: {smc_steps} steps from T={smc_max_temp}, "
                   f"{info['n_resamples']} resamples, final weight-ESS "
                   f"{info['final_weight_ess']:.1f}/{CHAIN}", file=sys.stderr)
-        if mesh is not None:
+        if item_axis is not None:
+            from gpirt_tpu.parallel.items import run_chains_itemsharded
+            draws = run_chains_itemsharded(
+                keys, jnp.asarray(y), th_inits, thresholds_init, consts,
+                config, sample_iterations=sample_iterations,
+                burn_iterations=burn_iterations,
+                thin=THIN, store_f=store_f, store_fstar=store_fstar,
+                mesh=mesh, item_axis=item_axis, initial_states=states,
+            )
+        elif mesh is not None:
             from gpirt_tpu.parallel.chains import run_chains
             draws = run_chains(
                 keys, jnp.asarray(y), th_inits, thresholds_init, consts,

@@ -94,6 +94,7 @@ def run_chains_itemsharded(
     mesh: Mesh,
     chain_axis: str = "chains",
     item_axis: str = "items",
+    initial_states=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run ``len(keys)`` chains with the item dimension sharded over
     ``mesh[item_axis]`` (and chains over ``mesh[chain_axis]`` when present).
@@ -103,9 +104,13 @@ def run_chains_itemsharded(
     item shards; theta and ll are identical on every item shard by
     construction and returned once.
 
+    ``initial_states`` (lane-stacked GPIRTState, e.g. an item-sharded SMC
+    ensemble from anneal_init(item_axis=...)) skips the prior init.
+
     Requires f_method='conjugate' (gibbs_sweep's item_axis support) and
     m % mesh.shape[item_axis] == 0.
     """
+    from gpirt_tpu.models.gibbs import GPIRTState
     from gpirt_tpu.models.sampler import run_chain
 
     if item_axis not in mesh.shape:
@@ -127,17 +132,20 @@ def run_chains_itemsharded(
     chain_p = chain_axis if chain_axis in mesh.shape else None
     init_spec = P(chain_p) if per_chain_init else P()
 
-    def body(keys_loc, y_loc, ti_loc, thr_loc, consts_loc):
-        def one_chain(k, ti):
+    def body(keys_loc, y_loc, ti_loc, thr_loc, consts_loc, states_loc):
+        def one_chain(k, ti, s0):
             return run_chain(
                 k, y_loc, ti, thr_loc, consts_loc, config,
                 sample_iterations=sample_iterations,
                 burn_iterations=burn_iterations, thin=thin,
                 store_f=store_f, store_fstar=store_fstar,
-                item_axis=item_axis,
+                item_axis=item_axis, initial_state=s0,
             )
-        return jax.vmap(one_chain, in_axes=(0, 0 if per_chain_init else None)
-                        )(keys_loc, ti_loc)
+        return jax.vmap(
+            one_chain,
+            in_axes=(0, 0 if per_chain_init else None,
+                     None if initial_states is None else 0),
+        )(keys_loc, ti_loc, states_loc)
 
     # per-item draw outputs reassemble over the item axis; theta/ll are
     # replicated across item shards (identical by the psum'd-table + shared
@@ -153,6 +161,18 @@ def run_chains_itemsharded(
     if store_fstar:
         out_specs["fstar"] = P(chain_p, None, None, None, item_axis)
 
+    # lane-stacked (K, ...) initial states: chains on chain_p, per-item
+    # leaves on item_axis (tree_map over None yields the empty subtree)
+    state_spec = None
+    if initial_states is not None:
+        state_spec = GPIRTState(
+            theta_idx=P(chain_p),
+            f=P(chain_p, None, None, item_axis),
+            beta=P(chain_p, None, None, item_axis),
+            thresholds=P(chain_p, None, item_axis, None),
+            fstar=P(chain_p, None, None, item_axis),
+        )
+
     fn = shard_map(
         body,
         mesh=mesh,
@@ -162,8 +182,10 @@ def run_chains_itemsharded(
             init_spec,
             P(None, item_axis, None),
             consts_item_specs(consts, item_axis),
+            state_spec,
         ),
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(fn)(keys, y, theta_init, thresholds_init, consts)
+    return jax.jit(fn)(keys, y, theta_init, thresholds_init, consts,
+                       initial_states)

@@ -40,6 +40,7 @@ import numpy as np
 
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
 from gpirt_tpu.models.gibbs import (
+    GPIRTState,
     compute_mu,
     gibbs_sweep,
     init_state,
@@ -63,7 +64,8 @@ _WARM_STEPS = 8
 @functools.lru_cache(maxsize=32)
 def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
               sweeps_per_step: int, ess_threshold: float,
-              per_chain_init: bool, mesh=None, axis: str = "chains"):
+              per_chain_init: bool, mesh=None, axis: str = "chains",
+              item_axis=None):
     """Compiled (init, run, final_resample), keyed on statics only; the
     dataset, constants and keys are jit arguments.
 
@@ -89,11 +91,19 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
     State exchange is one tiled all_gather of the lane
     pytree per step (~K x state bytes over ICI; a resample-gated variant
     could skip it on no-resample steps, but collectives under lax.cond
-    constrain layouts and the measured cost at bench scale is ~ms)."""
+    constrain layouts and the measured cost at bench scale is ~ms).
+
+    ``item_axis`` additionally shards the ITEM dimension over that mesh
+    axis (2-D chains x items mesh; parallel/items.py): mutation sweeps run
+    item-sharded (gibbs_sweep's item_axis), the reweight's per-lane ll
+    gains an item psum, and resampling's lane gathers ride the chain axis
+    only (per-item leaves stay sharded). Weights/ESS/indices are identical
+    on every item shard by the psum'd-ll construction."""
     temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
-    n_dev = 1 if mesh is None else mesh.devices.size
+    n_dev = 1 if mesh is None else mesh.shape[axis]
     K_loc = K // n_dev
     ax = None if mesh is None else axis
+    iax = item_axis
 
     def _gather_vec(x):  # (K_loc,) -> (K,) in device order
         if ax is None:
@@ -123,7 +133,10 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             g = s.f + compute_mu(theta, s.beta)
             return jnp.sum(ordinal_ll_terms(g, y, s.thresholds,
                                             1.0 / jnp.sqrt(t)))
-        return jax.vmap(one)(states)
+        ll = jax.vmap(one)(states)
+        if iax is not None:
+            ll = jax.lax.psum(ll, iax)
+        return ll
 
     def _systematic_src(w_full, u):
         pos = (jnp.arange(K, dtype=w_full.dtype) + u) / K
@@ -133,7 +146,8 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
 
     def init(k_init, theta_init, thresholds_init, y, consts):
         return jax.vmap(
-            lambda k, t: init_state(k, t, thresholds_init, y, consts, config),
+            lambda k, t: init_state(k, t, thresholds_init, y, consts, config,
+                                    iax),
             in_axes=(0, init_axis),
         )(k_init, theta_init)
 
@@ -179,7 +193,7 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
                 )(k_run)
                 s, _ = jax.vmap(
                     lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new,
-                                              iteration=i)
+                                              iteration=i, item_axis=iax)
                 )(s, kk)
             return (s, logw), (ess_w, do)
 
@@ -222,30 +236,53 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             lambda _: P(axis) if sharded else P(), tree
         )
 
+    # lane-stacked GPIRTState specs: chains on `axis`; per-item leaves
+    # additionally sharded on `item_axis` when given
+    if iax is None:
+        state_specs = GPIRTState(theta_idx=P(axis), f=P(axis), beta=P(axis),
+                                 thresholds=P(axis), fstar=P(axis))
+        y_spec, thr_spec = P(), P()
+    else:
+        state_specs = GPIRTState(
+            theta_idx=P(axis),
+            f=P(axis, None, None, iax),
+            beta=P(axis, None, None, iax),
+            thresholds=P(axis, None, iax, None),
+            fstar=P(axis, None, None, iax),
+        )
+        y_spec = P(None, None, iax)
+        thr_spec = P(None, iax, None)
+
+    def consts_specs(consts):
+        if iax is None:
+            return spec(consts, False)
+        from gpirt_tpu.parallel.items import consts_item_specs
+        return consts_item_specs(consts, iax)
+
     def sharded_init(k_init, theta_init, thresholds_init, y, consts):
         fn = shard_map(
             init, mesh=mesh,
-            in_specs=(P(axis), spec(theta_init, per_chain_init), P(),
-                      spec(y, False), spec(consts, False)),
-            out_specs=P(axis), check_vma=False,
+            in_specs=(P(axis), spec(theta_init, per_chain_init), thr_spec,
+                      y_spec, consts_specs(consts)),
+            out_specs=state_specs, check_vma=False,
         )
         return jax.jit(fn)(k_init, theta_init, thresholds_init, y, consts)
 
     def sharded_run(states, k_run, k_res, y, consts):
         fn = shard_map(
             run, mesh=mesh,
-            in_specs=(spec(states, True), P(axis), P(),
-                      spec(y, False), spec(consts, False)),
+            in_specs=(state_specs, P(axis), P(),
+                      y_spec, consts_specs(consts)),
             # ess/resample traces are computed identically on every device
-            out_specs=(P(axis), P(axis), P(), P()), check_vma=False,
+            out_specs=(state_specs, P(axis), P(), P()), check_vma=False,
         )
         return jax.jit(fn)(states, k_run, k_res, y, consts)
 
     def sharded_final(states, logw, k_res):
         fn = shard_map(
             final_resample, mesh=mesh,
-            in_specs=(spec(states, True), P(axis), P()),
-            out_specs=(P(axis), P()), check_vma=False,
+            in_specs=(state_specs, P(axis), P()),
+            out_specs=(state_specs, P()), check_vma=False,
         )
         return jax.jit(fn)(states, logw, k_res)
 
@@ -266,6 +303,7 @@ def anneal_init(
     ess_threshold: float = 0.5,
     mesh=None,
     axis: str = "chains",
+    item_axis=None,
 ):
     """Anneal K chains from T=max_temp to T=1. Returns (states, info).
 
@@ -279,19 +317,28 @@ def anneal_init(
     on resample steps, the lane states) so every device computes the same
     global systematic-resampling indices — the sharded run matches the
     unsharded run to reduction-order rounding (see _programs). K must
-    divide by mesh.devices.size.
+    divide by mesh.shape[axis]. ``item_axis`` names a second mesh axis to
+    shard the item dimension (2-D chains x items; the returned states are
+    item-sharded and feed run_chains_itemsharded(initial_states=...)).
     """
     if config.resolved_f_method != "conjugate":
         raise NotImplementedError("anneal_init needs f_method='conjugate'")
     K = int(keys.shape[0])
-    if mesh is not None and K % mesh.devices.size != 0:
+    if item_axis is not None and (mesh is None or item_axis not in mesh.shape):
         raise ValueError(
-            f"{K} chains do not divide over {mesh.devices.size} devices"
+            f"item_axis={item_axis!r} needs a mesh carrying that axis"
+        )
+    if mesh is not None and axis not in mesh.shape:
+        raise ValueError(f"mesh has no chain axis named {axis!r}")
+    if mesh is not None and K % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"{K} chains do not divide over {mesh.shape[axis]} "
+            "chain-axis devices"
         )
     theta_init = jnp.asarray(theta_init, config.jdtype)
     init, run, final_resample = _programs(
         config, K, n_steps, float(max_temp), sweeps_per_step,
-        float(ess_threshold), theta_init.ndim == 3, mesh, axis,
+        float(ess_threshold), theta_init.ndim == 3, mesh, axis, item_axis,
     )
     lane = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
     k_init, k_run, k_res = lane[:, 0], lane[:, 1], lane[0, 2]

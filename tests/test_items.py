@@ -195,10 +195,27 @@ class TestItemShardedDriver:
                        burn_iterations=0, vote_codes=None, verbose=False,
                        item_axis="items")
         mesh = make_item_mesh(4, 2)
-        with pytest.raises(ValueError):  # SMC combination unsupported
+        with pytest.raises(ValueError):  # tempering combination unsupported
             gpirt_mcmc(np.asarray(y[0], float), sample_iterations=1,
                        burn_iterations=0, vote_codes=None, verbose=False,
-                       mesh=mesh, item_axis="items", smc_steps=8)
+                       mesh=mesh, item_axis="items", n_temps=2)
+
+    def test_smc_item_sharded_pipeline(self):
+        """The FULL default pipeline on a 2-D mesh: item-sharded SMC
+        annealing feeding item-sharded sampling (anneal_init(item_axis=...)
+        -> run_chains_itemsharded(initial_states=...)), via gpirt_mcmc."""
+        from gpirt_tpu.api import gpirt_mcmc
+
+        _, y, _, _, _, _ = _setup(n=12, m=8)
+        mesh = make_item_mesh(4, 2)
+        out = gpirt_mcmc(
+            np.asarray(y[0], float), sample_iterations=8, burn_iterations=2,
+            CHAIN=4, vote_codes=None, dtype="float64", verbose=False,
+            mesh=mesh, item_axis="items", smc_steps=6, smc_max_temp=8.0,
+        )
+        assert len(out) == 4
+        assert out[0]["theta"].shape == (8, 12, 1)
+        assert all(np.all(np.isfinite(d["ll"])) for d in out)
 
     def test_non_conjugate_raises(self):
         _, y, ti, thr, consts, config = _setup(n=12, m=8)
