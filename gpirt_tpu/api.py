@@ -130,6 +130,7 @@ def gpirt_mcmc(
     jitter: Optional[float] = None,
     mesh: Optional[jax.sharding.Mesh] = None,
     item_axis: Optional[str] = None,
+    respondent_axis: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 200,
     n_temps: int = 1,
@@ -159,7 +160,13 @@ def gpirt_mcmc(
     mesh axis to ALSO shard the item dimension model-parallel (per-item
     state and blocks device-local, one theta-table psum per sweep;
     parallel/items.py — the TPU mapping of the reference's OpenMP
-    item fan-out), ``prng_impl`` ("auto" = the
+    item fan-out) and/or ``respondent_axis`` to shard the respondent
+    dimension (per-respondent state/blocks device-local, the per-item
+    conditionals completed by psums of small sufficient statistics;
+    parallel/respondents.py — the dual axis, mapping the reference's
+    OpenMP respondent fan-out, src/draw-theta.cpp:120-122; both together
+    give the full 3-D chains x items x respondents mesh), ``prng_impl``
+    ("auto" = the
     TPU-native rbg bit generator on TPU, threefry elsewhere; pass
     "threefry2x32" for a bit stream that is stable across JAX/XLA versions
     — either way a fixed SEED reproduces the run on a fixed build, the
@@ -229,6 +236,17 @@ def gpirt_mcmc(
             raise ValueError(
                 "item_axis supports the plain and SMC-initialized paths "
                 "only (no tempering or checkpointing yet)"
+            )
+    if respondent_axis is not None:
+        if mesh is None or respondent_axis not in mesh.shape:
+            raise ValueError(
+                f"respondent_axis={respondent_axis!r} needs a mesh with that "
+                "axis name (e.g. parallel.make_respondent_mesh)"
+            )
+        if n_temps > 1 or checkpoint_path is not None or smc_steps > 0:
+            raise ValueError(
+                "respondent_axis supports the plain multi-chain path only "
+                "(no tempering, checkpointing, or SMC init yet)"
             )
 
     if vote_codes is not None:
@@ -481,6 +499,21 @@ def gpirt_mcmc(
             burn_iterations=burn_iterations,
             thin=THIN, store_f=store_f, store_fstar=store_fstar,
             on_progress=on_progress, chunk_iterations=chunk_iterations,
+        )
+    elif respondent_axis is not None:
+        # respondent-axis model parallelism (optionally 3-D with items and
+        # chains); see parallel/respondents.py
+        from gpirt_tpu.parallel.respondents import (
+            run_chains_respondentsharded,
+        )
+
+        draws = run_chains_respondentsharded(
+            chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl),
+            jnp.asarray(y), th_inits, thresholds_init, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations,
+            thin=THIN, store_f=store_f, store_fstar=store_fstar,
+            mesh=mesh, item_axis=item_axis, respondent_axis=respondent_axis,
         )
     elif item_axis is not None:
         # item-axis model parallelism: per-item state and blocks shard over

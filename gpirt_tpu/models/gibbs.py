@@ -594,6 +594,7 @@ def draw_fstar_conjugate(
     config: GPIRTConfig,
     consts: GPIRTConstants,
     temp=None,
+    respondent_axis=None,
 ):
     """Exact Gaussian draw of f* | z (f_method="conjugate").
 
@@ -609,6 +610,12 @@ def draw_fstar_conjugate(
 
     Args:
       z_resid: (H, n, m) z - mu (the GP-part observations).
+      respondent_axis: mesh axis name when the respondent dimension n is
+        sharded (parallel/respondents.py). The grid-side prior draws
+        (zc, z_n) use the REPLICATED key — every shard must hold the same
+        grid randomness so the reassembled f* agrees — while the per-
+        respondent noise eps folds the shard index (independent streams);
+        the smoother's U^T-contractions complete via psum (lowrank_bsolve).
     Returns (fstar, f).
     """
     H, n, m = z_resid.shape
@@ -617,6 +624,8 @@ def draw_fstar_conjugate(
     q = consts.U_se.shape[1]
     idx = state.theta_idx
     k_u, k_e = jax.random.split(key)
+    if respondent_axis is not None:
+        k_e = jax.random.fold_in(k_e, jax.lax.axis_index(respondent_axis))
     sqrt_t, _ = _temp_scales(temp, dt)
     hi = jax.lax.Precision.HIGHEST
 
@@ -645,12 +654,15 @@ def draw_fstar_conjugate(
         eps = eps * sqrt_t  # tempered observation noise sd sqrt(T)
 
     alpha, _ = lowrank_bsolve(
-        idx, consts, z_resid - u_theta - eps, temp=temp
+        idx, consts, z_resid - u_theta - eps, temp=temp,
+        psum_axis=respondent_axis,
     )  # B^{-1} rhs via the rank-(q+3) capacitance — no (n, n) work
     # The rank-3 polynomial part factors through the same basis, keeping
     # the bf16-cancellation failure mode out (raw K entries are ~theta^4;
     # basis entries are O(1)); HIGHEST (true f32) precision throughout.
     ua = jnp.einsum("hnk,hnm->hkm", U_theta, alpha, precision=hi)
+    if respondent_axis is not None:
+        ua = jax.lax.psum(ua, respondent_axis)
     U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)  # (N, q+3)
     fstar = jnp.einsum("ak,hkm->ham", U_grid, zc + ua, precision=hi) + sj * z_n
     f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
@@ -664,6 +676,7 @@ def draw_beta_conjugate(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     temp=None,
+    respondent_axis=None,
 ) -> jnp.ndarray:
     """Exact Gaussian draw of beta | z, f (conjugate linear regression).
 
@@ -683,8 +696,19 @@ def draw_beta_conjugate(
     """
     H, n, m = z_minus_f.shape
     dt = z_minus_f.dtype
-    c = jnp.mean(theta, axis=1)  # (H,)
-    s = jnp.std(theta, axis=1) + jnp.asarray(1e-3, dt)  # (H,)
+    if respondent_axis is None:
+        c = jnp.mean(theta, axis=1)  # (H,)
+        s = jnp.std(theta, axis=1) + jnp.asarray(1e-3, dt)  # (H,)
+    else:
+        # global standardization over ALL respondent shards — every shard
+        # must agree on (c, s) so the change of basis (and the replicated
+        # beta draw below) is identical everywhere
+        n_glob = n * jax.lax.psum(1, respondent_axis)
+        c = jax.lax.psum(jnp.sum(theta, axis=1), respondent_axis) / n_glob
+        var = jax.lax.psum(
+            jnp.sum(jnp.square(theta - c[:, None]), axis=1), respondent_axis
+        ) / n_glob
+        s = jnp.sqrt(var) + jnp.asarray(1e-3, dt)
     u = (theta - c[:, None]) / s[:, None]  # (H, n)
     Xt = jnp.stack([jnp.ones_like(u), u, u * u], axis=-1)  # (H, n, 3)
     # theta = s*u + c, theta^2 = s^2 u^2 + 2sc u + c^2, so X = Xt A with
@@ -699,6 +723,12 @@ def draw_beta_conjugate(
     hi = jax.lax.Precision.HIGHEST
     XtX = jnp.einsum("hnp,hnq->hpq", Xt, Xt, precision=hi)  # (H, 3, 3)
     Xtz = jnp.einsum("hnp,hnm->hpm", Xt, z_minus_f, precision=hi)  # (H, 3, m)
+    if respondent_axis is not None:
+        # the sufficient statistics complete over shards; everything after
+        # this point is respondent-free, so the drawn beta (replicated key)
+        # is identical on every shard
+        XtX = jax.lax.psum(XtX, respondent_axis)
+        Xtz = jax.lax.psum(Xtz, respondent_axis)
     if temp is not None:
         inv_t = 1.0 / jnp.asarray(temp, dt)  # noise variance T
         XtX = XtX * inv_t
@@ -729,6 +759,18 @@ def draw_beta_conjugate(
 
 
 _HI = jax.lax.Precision.HIGHEST
+
+# Replication-correctness note for the sharded sweeps (items / respondents):
+# the design keeps per-item (resp. per-respondent) state REPLICATED and
+# re-derives it on every shard from psum'd statistics, so it relies on
+# ``psum`` returning BITWISE-identical results to every participant — a
+# compare-based draw (an ESS accept, a Gumbel argmax) sitting on an ulp edge
+# would otherwise fork the "replicated" state permanently. XLA's all-reduce
+# performs one logical reduction and broadcasts it; the property is verified
+# on the test backend by tests/test_respondents.py::test_psum_rank_consistent
+# (a canary — if a backend ever violates it, swap the decision-feeding psums
+# for all_gather + a fixed-order local sum, which is consistent by
+# construction at ~P/2 x the collective bytes).
 
 
 class WoodburyB(NamedTuple):
@@ -804,7 +846,7 @@ def woodbury_factors(
 
 
 def lowrank_bsolve(theta_idx: jnp.ndarray, consts: GPIRTConstants,
-                   r: jnp.ndarray, temp=None):
+                   r: jnp.ndarray, temp=None, psum_axis=None):
     """(B^{-1} r, logdet B) for B = K(theta) + T I with NO (n, n) work.
 
     The ICC kernel splits exactly as K = K_SE + Psi Psi^T, and the smooth SE
@@ -820,17 +862,28 @@ def lowrank_bsolve(theta_idx: jnp.ndarray, consts: GPIRTConstants,
     float32: C is equilibrated before factorization (the Psi columns put
     ~theta^4 on its diagonal) and the solve takes one refinement step
     against C and one against B, all at HIGHEST-precision einsums.
+
+    ``psum_axis``: mesh axis name when the RESPONDENT dimension n is sharded
+    (parallel/respondents.py). Each device holds its theta/r rows; every
+    U^T-contraction (the capacitance build, U^T rhs, and the refinement
+    residual projections) is completed by one psum of a (q+3)-sized
+    quantity — the low-rank structure makes the collective O(k·m) floats
+    instead of O(n·m), exactly why this axis shards cheaply.
     """
     H, n = theta_idx.shape
     dt = r.dtype
     t = jnp.asarray(1.0 if temp is None else temp, dt)
+
+    def _rsum(v):  # complete a local U^T-contraction over all shards
+        return v if psum_axis is None else jax.lax.psum(v, psum_axis)
+
     U = jnp.concatenate(
         [consts.U_se[theta_idx], consts.Psi_grid[theta_idx]], axis=-1
     )  # (H, n, k)
     k = U.shape[-1]
-    C = t * jnp.eye(k, dtype=dt) + jnp.einsum(
+    C = t * jnp.eye(k, dtype=dt) + _rsum(jnp.einsum(
         "hnk,hnl->hkl", U, U, precision=_HI
-    )
+    ))
     sc = jnp.sqrt(jnp.diagonal(C, axis1=-2, axis2=-1))  # (H, k)
     inv_sc = 1.0 / sc
     Ceq = C * (inv_sc[..., :, None] * inv_sc[..., None, :])
@@ -845,7 +898,7 @@ def lowrank_bsolve(theta_idx: jnp.ndarray, consts: GPIRTConstants,
         return w + once(resid)
 
     def b_solve(rhs):
-        Ur = jnp.einsum("hnk,hnm->hkm", U, rhs, precision=_HI)
+        Ur = _rsum(jnp.einsum("hnk,hnm->hkm", U, rhs, precision=_HI))
         return (rhs - jnp.einsum("hnk,hkm->hnm", U, c_solve(Ur),
                                  precision=_HI)) / t
 
@@ -853,10 +906,11 @@ def lowrank_bsolve(theta_idx: jnp.ndarray, consts: GPIRTConstants,
     # one refinement step against B itself (B-apply is cheap small matmuls)
     Bx = t * x + jnp.einsum(
         "hnk,hkm->hnm", U,
-        jnp.einsum("hnk,hnm->hkm", U, x, precision=_HI), precision=_HI,
+        _rsum(jnp.einsum("hnk,hnm->hkm", U, x, precision=_HI)), precision=_HI,
     )
     x = x + b_solve(r - Bx)
-    logdet = (n - k) * jnp.log(t) + 2.0 * (
+    n_glob = n if psum_axis is None else n * jax.lax.psum(1, psum_axis)
+    logdet = (n_glob - k) * jnp.log(t) + 2.0 * (
         jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
         + jnp.sum(jnp.log(sc), axis=-1)
     )
@@ -1481,7 +1535,8 @@ def draw_beta(
 # ---------------------------------------------------------------------------
 
 
-def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s):
+def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s,
+                                  psum_axis=None):
     """Newton-proposal independence MH on the binary cutpoint t_1.
 
     Targets the SAME y-marginal conditional as the delta-ESS update (prior
@@ -1519,9 +1574,18 @@ def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s):
         term = jnp.log(phi_cdf) * obs
         grad_c = sgn * r  # sgn carries the obs mask (0 on missing cells)
         hess_c = (r * (-u - r)) * obs
-        psi = -0.5 * t1 * t1 + jnp.sum(term, axis=red_axes)
-        dpsi = -t1 + cscale * jnp.sum(grad_c, axis=red_axes)
-        d2psi = -1.0 + cscale * cscale * jnp.sum(hess_c, axis=red_axes)
+        data_sums = jnp.stack([
+            jnp.sum(term, axis=red_axes),
+            jnp.sum(grad_c, axis=red_axes),
+            jnp.sum(hess_c, axis=red_axes),
+        ])
+        if psum_axis is not None:
+            # respondent-sharded rows: complete the data sums over shards
+            # (the N(0,1) prior terms below are shard-free and added once)
+            data_sums = jax.lax.psum(data_sums, psum_axis)
+        psi = -0.5 * t1 * t1 + data_sums[0]
+        dpsi = -t1 + cscale * data_sums[1]
+        d2psi = -1.0 + cscale * cscale * data_sums[2]
         d2psi = jnp.minimum(d2psi, -1.0)  # concave up to the 1e-6 floors
         mean = t1 + jnp.clip(-dpsi / d2psi, -3.0, 3.0)
         var = -eta2 / d2psi
@@ -1694,10 +1758,18 @@ def draw_threshold(
     y: jnp.ndarray,
     config: GPIRTConfig,
     temp=None,
+    psum_axis=None,
 ) -> jnp.ndarray:
     """ESS redraw of cutpoints in the unconstrained delta parametrization,
     identity-covariance prior (src/draw_threshold.cpp). constant_IRF shares
-    one cutpoint vector across horizons (slice 0, copied)."""
+    one cutpoint vector across horizons (slice 0, copied).
+
+    ``psum_axis``: mesh axis name when the RESPONDENT dimension is sharded
+    (parallel/respondents.py). Item lanes are computed redundantly on every
+    shard from the REPLICATED ``key``; each likelihood round reduces the
+    local respondent rows then psums the (m,)-sized lane totals, so every
+    shard takes identical accept decisions and holds identical cutpoints.
+    """
     H, m, Cp1 = thresholds.shape
     C = Cp1 - 1
     dt = thresholds.dtype
@@ -1705,10 +1777,13 @@ def draw_threshold(
     g = f + mu
     k_nu, k_ess = jax.random.split(key)
 
+    def _rsum(v):  # complete a local respondent reduction over all shards
+        return v if psum_axis is None else jax.lax.psum(v, psum_axis)
+
     if C == 2:
         if config.resolved_threshold_method == "newton":
             return _draw_threshold_binary_newton(key, thresholds, g, y,
-                                                 config, inv_s)
+                                                 config, inv_s, psum_axis)
         # binary fast path: the single interior cutpoint t_1 enters every
         # observed cell as log(Phi(s (t_1 - g)) + 1e-6) with s = +1 for
         # y = 1 and -1 for y = 2 (P(y=2) = 1 - Phi = Phi of the negated
@@ -1729,8 +1804,8 @@ def draw_threshold(
             x = sgn * (t1[..., None, :] - g) * c  # (H, n, m)
             term = jnp.log(0.5 * (1.0 + jax.lax.erf(x)) + floor)
             term = term * (y > 0)
-            return jnp.sum(term, axis=(0, 1)) if pool_horizons \
-                else jnp.sum(term, axis=1)
+            return _rsum(jnp.sum(term, axis=(0, 1)) if pool_horizons
+                         else jnp.sum(term, axis=1))
 
         if config.constant_IRF:
             delta = threshold_to_delta(thresholds[0])  # (m, C-1)
@@ -1765,7 +1840,7 @@ def draw_threshold(
             def ll_rows(idx, t_s):
                 xr = s_rows[idx] * (t_s[:, None] - g_rows[idx]) * c
                 term = jnp.log(0.5 * (1.0 + jax.lax.erf(xr)) + floor_)
-                return jnp.sum(term * obs_rows[idx], axis=1)
+                return _rsum(jnp.sum(term * obs_rows[idx], axis=1))
 
             t_new = _ess_binary_twophase(
                 k_ess, delta[..., 0].reshape(L), nu[..., 0].reshape(L),
@@ -1790,8 +1865,8 @@ def draw_threshold(
         def loglik(d):  # (m, C-1) -> (m,)
             thr = delta_to_threshold(d)  # (m, C+1)
             logp = _category_logprobs(g, thr[None, None], C, inv_s)  # (H, n, m, C)
-            return jnp.einsum("hijc,hijc->j", logp, onehot,
-                              precision=jax.lax.Precision.HIGHEST)
+            return _rsum(jnp.einsum("hijc,hijc->j", logp, onehot,
+                                    precision=jax.lax.Precision.HIGHEST))
 
         d_new = ess_update(k_ess, delta, nu, loglik, max_rounds=config.ess_max_rounds)
         thr0 = delta_to_threshold(d_new)
@@ -1803,8 +1878,8 @@ def draw_threshold(
     def loglik(d):  # (H, m, C-1) -> (H, m)
         thr = delta_to_threshold(d)  # (H, m, C+1)
         logp = _category_logprobs(g, thr[:, None], C, inv_s)  # (H, n, m, C)
-        return jnp.einsum("hijc,hijc->hj", logp, onehot,
-                          precision=jax.lax.Precision.HIGHEST)
+        return _rsum(jnp.einsum("hijc,hijc->hj", logp, onehot,
+                                precision=jax.lax.Precision.HIGHEST))
 
     d_new = ess_update(k_ess, delta, nu, loglik, max_rounds=config.ess_max_rounds)
     return delta_to_threshold(d_new)
@@ -1816,6 +1891,7 @@ def draw_threshold_collapsed(
     z: jnp.ndarray,
     y: jnp.ndarray,
     config: GPIRTConfig,
+    respondent_axis=None,
 ) -> jnp.ndarray:
     """Cutpoint update CONDITIONED on the Albert-Chib latents z.
 
@@ -1858,6 +1934,12 @@ def draw_threshold_collapsed(
     zb = z[..., None].astype(dt)
     lo = jnp.max(jnp.where(yb == cats, zb, -big), axis=1)  # (H, m, C-1)
     hi = jnp.min(jnp.where(yb == cats + 1, zb, big), axis=1)
+    if respondent_axis is not None:
+        # the z order-statistic box pools ALL respondents: complete the
+        # shard-local extrema over the respondent mesh axis (the draw below
+        # then uses the replicated key, so every shard holds identical t)
+        lo = jax.lax.pmax(lo, respondent_axis)
+        hi = jax.lax.pmin(hi, respondent_axis)
     if config.constant_IRF:
         lo = jnp.max(lo, axis=0)  # pool horizons: (m, C-1)
         hi = jnp.min(hi, axis=0)
@@ -2002,6 +2084,7 @@ def gibbs_sweep(
     temp=None,
     iteration=None,
     item_axis=None,
+    respondent_axis=None,
 ) -> Tuple[GPIRTState, jnp.ndarray]:
     """One full Gibbs iteration. Returns (new_state, total log-likelihood).
 
@@ -2032,20 +2115,35 @@ def gibbs_sweep(
     their keys (independent streams per shard); the theta draw uses the
     REPLICATED key so every shard samples the identical theta from the
     identical psum'd table. Conjugate path only.
+
+    ``respondent_axis``: mesh axis name when the RESPONDENT dimension n is
+    sharded (parallel/respondents.py — the dual axis: per-respondent state
+    theta_idx/f/z and the theta-table columns stay device-local; the per-
+    item arrays beta/thresholds/fstar are replicated, their draws completed
+    by psums of (q+3)- or m-sized sufficient statistics). Key discipline is
+    the dual of item sharding: the theta/z/eps draws (respondent-local)
+    fold the shard index; the grid prior draws, beta noise and cutpoint
+    update use the replicated key on psum'd statistics so every shard holds
+    identical beta/thresholds/fstar. Composes with ``item_axis`` as a 3-D
+    (chains x items x respondents) mesh: the two collectives sets are
+    disjoint (theta table over items; sufficient stats over respondents).
+    Conjugate path only.
     """
     if temp is not None and config.resolved_f_method != "conjugate":
         raise NotImplementedError(
             "tempering is implemented for f_method='conjugate' only"
         )
-    if item_axis is not None:
+    if item_axis is not None or respondent_axis is not None:
+        which = "item" if item_axis is not None else "respondent"
         if config.resolved_f_method != "conjugate":
             raise NotImplementedError(
-                "item-sharded sweeps need f_method='conjugate'"
+                f"{which}-sharded sweeps need f_method='conjugate'"
             )
         if config.affine_rounds > 0 or config.affine_shift_max > 0:
             raise NotImplementedError(
-                "affine theta moves are not item-sharded (their z-marginal "
-                "evaluations reduce over items); disable them under item_axis"
+                "affine theta moves are not mesh-sharded (their z-marginal "
+                "evaluations reduce over items and respondents); disable "
+                "them under item_axis/respondent_axis"
             )
     k_f, k_fs, k_th, k_b, k_t = jax.random.split(key, 5)
     if item_axis is not None:
@@ -2056,6 +2154,12 @@ def gibbs_sweep(
         k_fs = jax.random.fold_in(k_fs, shard)
         k_b = jax.random.fold_in(k_b, shard)
         k_t = jax.random.fold_in(k_t, shard)
+    if respondent_axis is not None:
+        # the dual: per-respondent draws (theta, z) fold the shard index;
+        # k_b / k_t / the fstar grid keys stay as-is (replicated across
+        # respondent shards) so the psum-completed blocks draw identically
+        rshard = jax.lax.axis_index(respondent_axis)
+        k_th = jax.random.fold_in(k_th, rshard)
 
     mu_star = compute_mu_star(consts, state.beta)
 
@@ -2081,10 +2185,10 @@ def gibbs_sweep(
             state = state._replace(theta_idx=theta_idx, f=f)
             theta = theta_from_indices(theta_idx, consts)
             mu = compute_mu(theta, state.beta)
-            z = draw_z_truncnorm(
-                jax.random.fold_in(k_f, 3 * s), f + mu, y, state.thresholds,
-                temp,
-            )
+            k_z = jax.random.fold_in(k_f, 3 * s)
+            if respondent_axis is not None:
+                k_z = jax.random.fold_in(k_z, rshard)  # respondent-local draw
+            z = draw_z_truncnorm(k_z, f + mu, y, state.thresholds, temp)
             if config.affine_rounds > 0 or config.affine_shift_max > 0:
                 # partially collapsed step: z has consumed the old f*; move
                 # (theta, beta) collectively against the z-marginal, then
@@ -2098,10 +2202,11 @@ def gibbs_sweep(
                 mu = compute_mu(theta, state.beta)
             fstar, f = draw_fstar_conjugate(
                 jax.random.fold_in(k_f, 3 * s + 2), state, z - mu, config,
-                consts, temp,
+                consts, temp, respondent_axis,
             )
             state = state._replace(fstar=fstar, f=f)
-        beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config, temp)
+        beta = draw_beta_conjugate(k_b, theta, z - state.f, consts, config,
+                                   temp, respondent_axis)
         state = state._replace(beta=beta)
 
         # cutpoints: the reference's y-marginal ESS (default), the collapsed
@@ -2110,7 +2215,7 @@ def gibbs_sweep(
         t_method = config.resolved_threshold_method
         if t_method == "collapsed":
             thresholds = draw_threshold_collapsed(
-                k_t, state.thresholds, z, y, config
+                k_t, state.thresholds, z, y, config, respondent_axis
             )
         elif t_method == "interleave":
             # cyclic kernel: both components leave the target invariant, so
@@ -2122,14 +2227,14 @@ def gibbs_sweep(
             thresholds = jax.lax.cond(
                 (it % config.threshold_ess_every) == 0,
                 lambda: draw_threshold(k_t, state.thresholds, marg_f, marg_mu,
-                                       y, config, temp),
+                                       y, config, temp, respondent_axis),
                 lambda: draw_threshold_collapsed(
-                    k_t, state.thresholds, z, y, config
+                    k_t, state.thresholds, z, y, config, respondent_axis
                 ),
             )
         else:
             thresholds = draw_threshold(k_t, state.thresholds, state.f, mu, y,
-                                        config, temp)
+                                        config, temp, respondent_axis)
         state = state._replace(thresholds=thresholds)
         if config.threshold_shift and not config.constant_IRF:
             thresholds, beta, dlt = draw_threshold_shift(
@@ -2141,6 +2246,8 @@ def gibbs_sweep(
         ll = jnp.sum(ordinal_ll_terms(state.f + mu, y, thresholds, inv_s))
         if item_axis is not None:
             ll = jax.lax.psum(ll, item_axis)
+        if respondent_axis is not None:
+            ll = jax.lax.psum(ll, respondent_axis)
         return state, ll
 
     if config.resolved_f_method == "grid":

@@ -88,6 +88,7 @@ def run_chain(
     store_fstar: bool = False,
     initial_state=None,
     item_axis=None,
+    respondent_axis=None,
 ) -> Dict[str, jnp.ndarray]:
     """Run one MCMC chain; returns a dict of stacked draws.
 
@@ -106,6 +107,12 @@ def run_chain(
     the per-item state/draws are this device's item shard; see
     gibbs_sweep's item_axis notes for the key/collective discipline.
 
+    ``respondent_axis``: mesh axis name when the RESPONDENT dimension is
+    sharded (parallel/respondents.py). y, theta_init and the per-respondent
+    state/draws are this device's respondent shard; beta/thresholds/fstar
+    stay replicated (their draws complete via psums of small sufficient
+    statistics — see gibbs_sweep). Composes with ``item_axis``.
+
     Returns:
       dict with "theta" (S, H, n), "beta" (S, H, 3, m),
       "threshold" (S, H, m, C+1), "ll" (S,), and optionally "f" (S, H, n, m)
@@ -116,12 +123,17 @@ def run_chain(
     if initial_state is None:
         state = init_state(k_init, theta_init, thresholds_init, y, consts,
                            config, item_axis)
+        # under respondent sharding init_state is already correct as-is:
+        # beta/fstar are drawn from the (replicated or item-folded) key —
+        # identical on every respondent shard — and f/theta_idx are local
+        # gathers of the replicated fstar at this shard's theta rows
     else:
         state = initial_state
 
     def sweep(state, it):
         return gibbs_sweep(state, jax.random.fold_in(k_run, it), y, consts,
-                           config, iteration=it, item_axis=item_axis)
+                           config, iteration=it, item_axis=item_axis,
+                           respondent_axis=respondent_axis)
 
     def advance(state, start, count):
         if count <= 0:
