@@ -232,10 +232,10 @@ def gpirt_mcmc(
                 f"item_axis={item_axis!r} needs a mesh with that axis name "
                 "(e.g. parallel.make_item_mesh)"
             )
-        if n_temps > 1 or checkpoint_path is not None:
+        if checkpoint_path is not None:
             raise ValueError(
-                "item_axis supports the plain and SMC-initialized paths "
-                "only (no tempering or checkpointing yet)"
+                "item_axis supports the plain, SMC-initialized, and "
+                "tempered paths (no checkpointing yet)"
             )
     if respondent_axis is not None:
         if mesh is None or respondent_axis not in mesh.shape:
@@ -418,7 +418,7 @@ def gpirt_mcmc(
             burn_iterations=burn_iterations,
             thin=THIN, n_temps=n_temps, max_temp=max_temp,
             swap_every=swap_every, store_f=store_f, store_fstar=store_fstar,
-            on_progress=on_progress, mesh=mesh,
+            on_progress=on_progress, mesh=mesh, item_axis=item_axis,
         )
         host = jax.tree_util.tree_map(np.asarray, draws)
         swap_rate = host.pop("swap_rate")

@@ -70,8 +70,13 @@ def temperature_ladder(n_temps: int, max_temp: float) -> np.ndarray:
     return max_temp ** (np.arange(n_temps) / (n_temps - 1))
 
 
-def _lane_ll(states, temps_eval, y, consts):
-    """l_{temps_eval[k]}(S_k) for every lane: (K,) tempered data ll."""
+def _lane_ll(states, temps_eval, y, consts, item_axis=None):
+    """l_{temps_eval[k]}(S_k) for every lane: (K,) tempered data ll.
+
+    Under item sharding the local sum covers this device's item shard only;
+    one psum over ``item_axis`` completes it, so every item shard sees the
+    identical swap deltas (and takes identical accept decisions from the
+    replicated swap-uniform stream)."""
 
     def one(s, t):
         theta = theta_from_indices(s.theta_idx, consts)
@@ -79,10 +84,14 @@ def _lane_ll(states, temps_eval, y, consts):
         inv_s = 1.0 / jnp.sqrt(t)
         return jnp.sum(ordinal_ll_terms(g, y, s.thresholds, inv_s))
 
-    return jax.vmap(one)(states, temps_eval)
+    ll = jax.vmap(one)(states, temps_eval)
+    if item_axis is not None:
+        ll = jax.lax.psum(ll, item_axis)
+    return ll
 
 
-def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None):
+def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None,
+          item_axis=None):
     """One even/odd adjacent-pair swap phase (parity = i % 2).
 
     ``ll_own`` is each lane's own-temperature data ll of the CURRENT state
@@ -96,7 +105,10 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None):
     only cross-device coupling is the shared swap-uniform stream — every
     device draws the full ensemble's uniforms from the replicated k_swap and
     slices its block, which keeps sharded == unsharded bit-for-bit without
-    any collective.
+    any collective. ``item_axis`` non-None additionally shards the ITEM
+    dimension: the cross-temperature lls complete via one psum per phase
+    (see _lane_ll) and the uniform slice indexes by the CHAIN-axis
+    coordinate only, so all item shards of a group take identical swaps.
     """
     K = G * L
     lane = jnp.arange(K)
@@ -106,7 +118,7 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None):
     valid = (partner_l >= 0) & (partner_l < L)
     partner = jnp.where(valid, lane + (partner_l - l), lane)  # (K,)
 
-    ll_cross = _lane_ll(states, temps[partner], y, consts)
+    ll_cross = _lane_ll(states, temps[partner], y, consts, item_axis)
     delta = (ll_cross + ll_cross[partner]) - (ll_own + ll_own[partner])
 
     pair_lo = jnp.minimum(lane, partner)
@@ -131,17 +143,18 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None):
 
 
 def _tempered_sweep(states, i, k_run, temps, k_swap, swap_every, G, L,
-                    y, consts, config, axis=None):
+                    y, consts, config, axis=None, item_axis=None):
     """One lockstep tempered sweep + (periodic) swap phase."""
     keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(k_run)
     states, ll = jax.vmap(
-        lambda s, k, t: gibbs_sweep(s, k, y, consts, config, t, iteration=i)
+        lambda s, k, t: gibbs_sweep(s, k, y, consts, config, t, iteration=i,
+                                    item_axis=item_axis)
     )(states, keys, temps)
     if swap_every > 0:
         do_swap = (i % swap_every) == 0
         swapped, ll_post, acc = _swap(
             states, ll, temps, k_swap, i // swap_every, G, L, y, consts,
-            axis,
+            axis, item_axis,
         )
         states = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_swap, b, a), states, swapped
@@ -177,24 +190,36 @@ def _cold_record(s, ll, G, L, consts, config, store_f, store_fstar):
 
 
 
-def _shard_lanewise(fn, mesh, axis, example_out_axes):
+def _lane_state_specs(axis, item_axis):
+    """PartitionSpecs for a lane-stacked (K, ...) GPIRTState: lanes shard
+    over the chain axis; per-item dims over ``item_axis`` when given."""
+    from gpirt_tpu.models.gibbs import GPIRTState
+
+    if item_axis is None:
+        return GPIRTState(*([P(axis)] * 5))
+    return GPIRTState(
+        theta_idx=P(axis),
+        f=P(axis, None, None, item_axis),
+        beta=P(axis, None, None, item_axis),
+        thresholds=P(axis, None, item_axis, None),
+        fstar=P(axis, None, None, item_axis),
+    )
+
+
+def _shard_lanewise(fn, mesh, axis, out_specs, item_axis=None):
     """Wrap a (states, k_run, temps, k_swap, scalar, y, consts) -> outs
     program in shard_map over whole groups: lane-carrying inputs/outputs
-    shard on axis 0, everything else replicates. ``example_out_axes`` is a
-    pytree-prefix of out sharded-axis booleans matching fn's outputs."""
-
-    def specs_for(tree, sharded):
-        return jax.tree_util.tree_map(
-            lambda _: P(axis) if sharded else P(), tree
-        )
+    shard on axis 0 (the chain axis), per-item dims over ``item_axis`` when
+    the mesh also shards items, everything else replicates. ``out_specs``
+    is an explicit PartitionSpec pytree matching fn's outputs."""
+    from gpirt_tpu.parallel.items import consts_item_specs
 
     def wrapped(states, k_run, temps, k_swap, scalar, y, consts):
         in_specs = (
-            specs_for(states, True), P(axis), P(axis), P(), P(),
-            specs_for(y, False), specs_for(consts, False),
-        )
-        out_specs = jax.tree_util.tree_map(
-            lambda sh: P(axis) if sh else P(), example_out_axes
+            _lane_state_specs(axis, item_axis), P(axis), P(axis), P(), P(),
+            P(None, None, item_axis) if item_axis is not None else P(),
+            consts_item_specs(consts, item_axis) if item_axis is not None
+            else jax.tree_util.tree_map(lambda _: P(), consts),
         )
         return jax.jit(shard_map(
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -216,16 +241,17 @@ def _t_init_program(config: GPIRTConfig, per_group_init: bool, L: int):
 @functools.lru_cache(maxsize=32)
 def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
                        G: int, L: int, mesh: Optional[Mesh] = None,
-                       axis: str = "chains"):
-    ax = None if mesh is None else axis
-    G_loc = G if mesh is None else G // mesh.devices.size
+                       axis: str = "chains", item_axis: Optional[str] = None):
+    ax = axis if (mesh is not None and axis in mesh.shape) else None
+    iax = item_axis if mesh is not None else None
+    G_loc = G if ax is None else G // mesh.shape[axis]
 
     def run(states, k_run, temps, k_swap, start, y, consts):
         def body(carry, j):
             s, acc = carry
             s, _, a = _tempered_sweep(
                 s, start + j, k_run, temps, k_swap, swap_every, G_loc, L,
-                y, consts, config, ax,
+                y, consts, config, ax, iax,
             )
             return (s, acc + a.astype(jnp.int32)), None
 
@@ -235,23 +261,26 @@ def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
 
     if mesh is None:
         return jax.jit(run)
-    return _shard_lanewise(run, mesh, axis, (True, True))
+    return _shard_lanewise(run, mesh, ax,
+                           (_lane_state_specs(ax, iax), P(ax)), iax)
 
 
 @functools.lru_cache(maxsize=32)
 def _t_records_program(config: GPIRTConfig, count: int, thin: int,
                        swap_every: int, G: int, L: int,
                        store_f: bool, store_fstar: bool, final: bool,
-                       mesh: Optional[Mesh] = None, axis: str = "chains"):
-    ax = None if mesh is None else axis
-    G_loc = G if mesh is None else G // mesh.devices.size
+                       mesh: Optional[Mesh] = None, axis: str = "chains",
+                       item_axis: Optional[str] = None):
+    ax = axis if (mesh is not None and axis in mesh.shape) else None
+    iax = item_axis if mesh is not None else None
+    G_loc = G if ax is None else G // mesh.shape[axis]
 
     def run(states, k_run, temps, k_swap, start0, y, consts):
         def rec_sweep(carry, start):
             s, acc = carry
             s, ll, a = _tempered_sweep(
                 s, start, k_run, temps, k_swap, swap_every, G_loc, L,
-                y, consts, config, ax,
+                y, consts, config, ax, iax,
             )
             acc = acc + a.astype(jnp.int32)
             out = _cold_record(s, ll, G_loc, L, consts, config,
@@ -263,7 +292,7 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
                 s2, acc2 = c
                 s2, _, a2 = _tempered_sweep(
                     s2, start + j, k_run, temps, k_swap, swap_every, G_loc,
-                    L, y, consts, config, ax,
+                    L, y, consts, config, ax, iax,
                 )
                 return (s2, acc2 + a2.astype(jnp.int32)), None
 
@@ -298,14 +327,20 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
 
     if mesh is None:
         return jax.jit(run)
-    # outs carry the group axis first -> sharded like the lanes
+    # outs carry the group axis first -> sharded like the lanes; per-item
+    # record dims reassemble over the item axis when the mesh shards items
+    rec_specs = {
+        "theta": P(ax),
+        "beta": P(ax, None, None, None, iax),
+        "threshold": P(ax, None, None, iax, None),
+        "ll": P(ax),
+    }
+    if store_f:
+        rec_specs["f"] = P(ax, None, None, None, iax)
+    if store_fstar:
+        rec_specs["fstar"] = P(ax, None, None, None, iax)
     return _shard_lanewise(
-        run, mesh, axis,
-        (True, True, {k: True for k in (
-            ["theta", "beta", "threshold", "ll"]
-            + (["f"] if store_f else [])
-            + (["fstar"] if store_fstar else [])
-        )}),
+        run, mesh, ax, (_lane_state_specs(ax, iax), P(ax), rec_specs), iax,
     )
 
 
@@ -320,21 +355,34 @@ class TemperedPrograms:
     def __init__(self, keys, y, thresholds_init, consts, config, *,
                  n_temps, max_temp, sample_iterations, burn_iterations,
                  thin, store_f=False, store_fstar=False, swap_every=1,
-                 mesh=None, axis="chains"):
+                 mesh=None, axis="chains", item_axis=None):
         if config.resolved_f_method != "conjugate":
             raise NotImplementedError(
                 "parallel tempering needs f_method='conjugate'"
             )
+        if item_axis is not None and (mesh is None
+                                      or item_axis not in mesh.shape):
+            raise ValueError(
+                f"item_axis={item_axis!r} needs a mesh with that axis name"
+            )
         if mesh is not None:
-            n_dev = mesh.devices.size
-            if int(keys.shape[0]) % n_dev != 0:
+            n_chain_dev = mesh.shape.get(axis, 1)
+            if int(keys.shape[0]) % n_chain_dev != 0:
                 raise ValueError(
                     f"{int(keys.shape[0])} tempered groups do not divide "
-                    f"over {n_dev} devices (swaps are group-local, so the "
-                    "lane axis shards by whole groups)"
+                    f"over {n_chain_dev} chain shards (swaps are group-"
+                    "local, so the lane axis shards by whole groups)"
                 )
+            if item_axis is not None:
+                m = int(y.shape[-1])
+                if m % mesh.shape[item_axis] != 0:
+                    raise ValueError(
+                        f"m={m} does not divide over "
+                        f"{mesh.shape[item_axis]} item shards"
+                    )
         self.mesh = mesh
         self.axis = axis
+        self.item_axis = item_axis
         self.y = y
         self.consts = consts
         self.config = config
@@ -369,7 +417,8 @@ class TemperedPrograms:
 
     def advance(self, states, start, count):
         fn = _t_advance_program(self.config, count, self.swap_every,
-                                self.G, self.L, self.mesh, self.axis)
+                                self.G, self.L, self.mesh, self.axis,
+                                self.item_axis)
         return fn(states, self.k_run, self.temps, self.k_swap, start,
                   self.y, self.consts)
 
@@ -377,7 +426,7 @@ class TemperedPrograms:
         fn = _t_records_program(
             self.config, count, self.thin, self.swap_every, self.G, self.L,
             self.store_f, self.store_fstar, bool(final) and self.thin > 1,
-            self.mesh, self.axis,
+            self.mesh, self.axis, self.item_axis,
         )
         start0 = self.sched.pre_iterations + start_rec * self.thin
         return fn(states, self.k_run, self.temps, self.k_swap, start0,
@@ -404,17 +453,27 @@ def run_tempered_chains(
     on_progress=None,
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
+    item_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Tempered ensemble run; returns COLD-chain draws (G, S, ...) plus
     ensemble swap diagnostics.
 
     ``len(keys)`` cold chains, each backed by ``n_temps - 1`` hot lanes on a
     geometric ladder up to ``max_temp``; all G*L lanes advance in lockstep.
-    ``mesh`` shards the lane axis by WHOLE groups over devices (swaps are
-    group-local, so sampling needs zero collectives — the only cross-device
-    coupling is the replicated swap-uniform stream, and sharded equals
-    unsharded bit-for-bit). Requires G %% mesh.devices.size == 0. Output
-    layout matches run_chains_chunked with a leading (G,) chains axis, plus:
+    ``mesh`` shards the lane axis by WHOLE groups over ``mesh[axis]`` (swaps
+    are group-local, so sampling needs zero collectives — the only
+    cross-device coupling is the replicated swap-uniform stream, and sharded
+    equals unsharded bit-for-bit). Requires G %% mesh.shape[axis] == 0.
+    ``item_axis`` additionally shards the ITEM dimension over
+    ``mesh[item_axis]`` (a 2-D groups x items mesh, parallel/items.py
+    semantics: per-item state/blocks device-local, one theta-table psum per
+    sweep; the swap phase adds one (K,)-sized ll psum per phase, and all
+    item shards of a group take identical swap decisions from the
+    replicated uniform stream). Requires m %% mesh.shape[item_axis] == 0;
+    the item-sharded run is NOT bitwise the unsharded one (per-item key
+    streams fold the shard index — a different, equally valid sampler).
+    Output layout matches run_chains_chunked with a leading (G,) chains
+    axis, plus:
       * "swap_rate": (L-1,) mean acceptance of adjacent swaps by rung.
     """
     progs = TemperedPrograms(
@@ -422,7 +481,7 @@ def run_tempered_chains(
         n_temps=n_temps, max_temp=max_temp, swap_every=swap_every,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
-        mesh=mesh, axis=axis,
+        mesh=mesh, axis=axis, item_axis=item_axis,
     )
     states = progs.init(theta_init)
     total = progs.total

@@ -161,3 +161,144 @@ def test_mesh_indivisible_groups_rejected():
         run_tempered_chains(chain_keys(0, 6), y, np.zeros((1, config.n)),
                             thr, consts, config, sample_iterations=2,
                             burn_iterations=0, n_temps=2, mesh=mesh)
+
+
+# ---------------------------------------------------------------------------
+# item-sharded tempering (2-D groups x items mesh)
+# ---------------------------------------------------------------------------
+
+
+def _setup_items(n=8, m=6, C=3, N=61, seed=0):
+    """Like _setup but with the affine moves OFF (mesh-sharded sweeps
+    reject them) and an item count divisible by 2 shards."""
+    config = GPIRTConfig(n=n, m=m, horizon=1, C=C, grid_size=N,
+                         dtype="float64", f_method="conjugate")
+    consts = make_constants(
+        config,
+        beta_prior_means=np.zeros((3, m)),
+        beta_prior_sds=np.full((3, m), 1.5),
+        theta_prior_means=np.zeros((2, n)),
+        theta_prior_sds=np.zeros((2, n)),
+    )
+    rng = np.random.default_rng(seed)
+    theta = np.linspace(-1.5, 1.5, n)
+    disc = rng.standard_normal(m)
+    p = 1 / (1 + np.exp(-np.outer(theta, disc)))
+    u = rng.random((n, m))
+    y = np.ones((1, n, m), np.int32)
+    y[0][u < p] = 2
+    y[0][u < p * 0.3] = 3
+    thr = np.tile(np.array([-np.inf, -0.4, 0.6, np.inf]), (1, m, 1))
+    return config, consts, jnp.asarray(y), thr
+
+
+def test_item_sharded_swap_replication():
+    """Under item sharding, the lane states' replicated leaves (theta_idx)
+    and the swap decisions must be bit-consistent on every item shard after
+    tempered sweeps WITH swap phases (the psum'd cross-temperature lls feed
+    the accept comparisons)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from gpirt_tpu.parallel.items import consts_item_specs
+    from gpirt_tpu.parallel.tempering import _tempered_sweep
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    config, consts, y, thr = _setup_items()
+    G, L = 1, 4
+    K = G * L
+    mesh = Mesh(np.array(jax.devices()[:2]), ("items",))
+    temps = jnp.asarray(np.tile(temperature_ladder(L, 8.0), G))
+    k_init = jax.random.split(jax.random.key(0), K)
+    k_run = jax.random.split(jax.random.key(1), K)
+    k_swap = jax.random.key(2)
+
+    def body(yy, cc, thr_loc):
+        states = jax.vmap(
+            lambda k: init_state(k, jnp.zeros((1, config.n)),
+                                 thr_loc, yy, cc, config)
+        )(k_init)
+        acc_tot = jnp.zeros((K,), jnp.int32)
+        for i in range(4):
+            states, ll, acc = _tempered_sweep(
+                states, i, k_run, temps, k_swap, 1, G, L, yy, cc, config,
+                axis=None, item_axis="items",
+            )
+            acc_tot = acc_tot + acc.astype(jnp.int32)
+
+        def dev(v):  # max abs deviation across item shards (raw gather)
+            g = jax.lax.all_gather(v, "items")
+            return jnp.max(jnp.abs(g - g[0]))
+
+        return (dev(states.theta_idx), dev(ll), dev(acc_tot),
+                jnp.sum(acc_tot))
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, None, "items"), consts_item_specs(consts, "items"),
+                  P(None, "items", None)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    ))
+    d_idx, d_ll, d_acc, n_acc = fn(y, consts, jnp.asarray(thr, jnp.float64))
+    assert float(d_idx) == 0.0
+    assert float(d_ll) == 0.0
+    assert float(d_acc) == 0.0
+    assert int(n_acc) > 0  # swaps actually exercised
+
+
+def test_item_sharded_tempered_driver():
+    """Full 2-D (groups x items) tempered run: shapes, finiteness, swap
+    diagnostics, and a sane cold chain."""
+    from gpirt_tpu.parallel.items import make_item_mesh
+
+    config, consts, y, thr = _setup_items()
+    mesh = make_item_mesh(n_item_shards=2, n_chain_shards=4)
+    d = run_tempered_chains(
+        chain_keys(5, 4), y, np.zeros((1, config.n)), thr, consts, config,
+        sample_iterations=40, burn_iterations=10, n_temps=2, max_temp=4.0,
+        chunk_iterations=25, mesh=mesh, item_axis="items",
+        store_f=True, store_fstar=True,
+    )
+    assert d["theta"].shape == (4, 40, 1, config.n)
+    assert d["beta"].shape == (4, 40, 1, 3, config.m)
+    assert d["f"].shape == (4, 40, 1, config.n, config.m)
+    assert d["fstar"].shape == (4, 40, 1, config.grid_size, config.m)
+    assert bool(np.isfinite(np.asarray(d["theta"])).all())
+    assert bool(np.isfinite(np.asarray(d["ll"])).all())
+    assert d["swap_rate"].shape == (1,)
+
+
+def test_item_sharded_tempered_validation():
+    from gpirt_tpu.parallel.items import make_item_mesh
+
+    config, consts, y, thr = _setup_items(m=5)  # 5 % 2 != 0
+    mesh = make_item_mesh(n_item_shards=2, n_chain_shards=2)
+    with pytest.raises(ValueError, match="divide"):
+        run_tempered_chains(
+            chain_keys(0, 2), y, np.zeros((1, config.n)), thr, consts,
+            config, sample_iterations=2, burn_iterations=0, n_temps=2,
+            mesh=mesh, item_axis="items",
+        )
+
+
+def test_api_tempered_item_axis():
+    """gpirt_mcmc(n_temps=..., mesh=..., item_axis=...) end to end."""
+    from gpirt_tpu.api import gpirt_mcmc
+    from gpirt_tpu.parallel.items import make_item_mesh
+
+    rng = np.random.default_rng(0)
+    yraw = rng.integers(1, 3, size=(12, 8)).astype(float)
+    mesh = make_item_mesh(n_item_shards=2, n_chain_shards=2)
+    out = gpirt_mcmc(
+        yraw, sample_iterations=10, burn_iterations=5, CHAIN=2,
+        vote_codes=None, dtype="float64", verbose=False,
+        n_temps=2, max_temp=4.0, mesh=mesh, item_axis="items",
+    )
+    assert len(out) == 2
+    assert out[0]["theta"].shape == (10, 12, 1)
+    assert out[0]["beta"].shape == (10, 3, 8, 1)
+    assert np.all(np.isfinite(out[0]["ll"]))
+    assert "swap_rate" in out[0]
