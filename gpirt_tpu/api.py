@@ -243,10 +243,10 @@ def gpirt_mcmc(
                 f"respondent_axis={respondent_axis!r} needs a mesh with that "
                 "axis name (e.g. parallel.make_respondent_mesh)"
             )
-        if n_temps > 1 or checkpoint_path is not None or smc_steps > 0:
+        if checkpoint_path is not None:
             raise ValueError(
-                "respondent_axis supports the plain multi-chain path only "
-                "(no tempering, checkpointing, or SMC init yet)"
+                "respondent_axis supports the plain, SMC-initialized, and "
+                "tempered paths (no checkpointing yet)"
             )
 
     if vote_codes is not None:
@@ -419,6 +419,7 @@ def gpirt_mcmc(
             thin=THIN, n_temps=n_temps, max_temp=max_temp,
             swap_every=swap_every, store_f=store_f, store_fstar=store_fstar,
             on_progress=on_progress, mesh=mesh, item_axis=item_axis,
+            respondent_axis=respondent_axis,
         )
         host = jax.tree_util.tree_map(np.asarray, draws)
         swap_rate = host.pop("swap_rate")
@@ -438,13 +439,25 @@ def gpirt_mcmc(
         states, info = anneal_init(
             keys, jnp.asarray(y), th_inits, thresholds_init, consts, config,
             n_steps=smc_steps, max_temp=smc_max_temp, mesh=mesh,
-            item_axis=item_axis,
+            item_axis=item_axis, respondent_axis=respondent_axis,
         )
         if verbose:
             print(f"[gpirt] SMC init: {smc_steps} steps from T={smc_max_temp}, "
                   f"{info['n_resamples']} resamples, final weight-ESS "
                   f"{info['final_weight_ess']:.1f}/{CHAIN}", file=sys.stderr)
-        if item_axis is not None:
+        if respondent_axis is not None:
+            from gpirt_tpu.parallel.respondents import (
+                run_chains_respondentsharded,
+            )
+            draws = run_chains_respondentsharded(
+                keys, jnp.asarray(y), th_inits, thresholds_init, consts,
+                config, sample_iterations=sample_iterations,
+                burn_iterations=burn_iterations,
+                thin=THIN, store_f=store_f, store_fstar=store_fstar,
+                mesh=mesh, item_axis=item_axis,
+                respondent_axis=respondent_axis, initial_states=states,
+            )
+        elif item_axis is not None:
             from gpirt_tpu.parallel.items import run_chains_itemsharded
             draws = run_chains_itemsharded(
                 keys, jnp.asarray(y), th_inits, thresholds_init, consts,

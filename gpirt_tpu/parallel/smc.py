@@ -65,7 +65,7 @@ _WARM_STEPS = 8
 def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
               sweeps_per_step: int, ess_threshold: float,
               per_chain_init: bool, mesh=None, axis: str = "chains",
-              item_axis=None):
+              item_axis=None, respondent_axis=None):
     """Compiled (init, run, final_resample), keyed on statics only; the
     dataset, constants and keys are jit arguments.
 
@@ -98,12 +98,19 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
     item-sharded (gibbs_sweep's item_axis), the reweight's per-lane ll
     gains an item psum, and resampling's lane gathers ride the chain axis
     only (per-item leaves stay sharded). Weights/ESS/indices are identical
-    on every item shard by the psum'd-ll construction."""
+    on every item shard by the psum'd-ll construction. ``respondent_axis``
+    is the dual (parallel/respondents.py): per-respondent state shards,
+    the reweight ll gains a respondent psum, and the lane gathers again
+    ride the chain axis only — composing to the full 3-D mesh. A mesh
+    WITHOUT a chain axis (e.g. make_respondent_mesh(8)) replicates the
+    lanes on every model shard (ax = None: weight math and resampling run
+    identically everywhere with zero lane collectives)."""
     temps = jnp.asarray(annealing_schedule(n_steps, max_temp), config.jdtype)
-    n_dev = 1 if mesh is None else mesh.shape[axis]
+    ax = axis if (mesh is not None and axis in mesh.shape) else None
+    n_dev = 1 if ax is None else mesh.shape[axis]
     K_loc = K // n_dev
-    ax = None if mesh is None else axis
     iax = item_axis
+    rax = respondent_axis
 
     def _gather_vec(x):  # (K_loc,) -> (K,) in device order
         if ax is None:
@@ -134,8 +141,9 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
             return jnp.sum(ordinal_ll_terms(g, y, s.thresholds,
                                             1.0 / jnp.sqrt(t)))
         ll = jax.vmap(one)(states)
-        if iax is not None:
-            ll = jax.lax.psum(ll, iax)
+        model_axes = tuple(a for a in (iax, rax) if a is not None)
+        if model_axes:
+            ll = jax.lax.psum(ll, model_axes)
         return ll
 
     def _systematic_src(w_full, u):
@@ -193,7 +201,8 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
                 )(k_run)
                 s, _ = jax.vmap(
                     lambda cs, k: gibbs_sweep(cs, k, y, consts, config, t_new,
-                                              iteration=i, item_axis=iax)
+                                              iteration=i, item_axis=iax,
+                                              respondent_axis=rax)
                 )(s, kk)
             return (s, logw), (ess_w, do)
 
@@ -231,39 +240,31 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
     except AttributeError:  # pragma: no cover
         from jax.experimental.shard_map import shard_map
 
-    def spec(tree, sharded):
-        return jax.tree_util.tree_map(
-            lambda _: P(axis) if sharded else P(), tree
-        )
+    from gpirt_tpu.parallel.respondents import consts_mesh_specs
 
-    # lane-stacked GPIRTState specs: chains on `axis`; per-item leaves
-    # additionally sharded on `item_axis` when given
-    if iax is None:
-        state_specs = GPIRTState(theta_idx=P(axis), f=P(axis), beta=P(axis),
-                                 thresholds=P(axis), fstar=P(axis))
-        y_spec, thr_spec = P(), P()
+    # lane-stacked GPIRTState specs: chains on `ax` (None when the mesh
+    # carries no chain axis — lanes replicated per model shard); per-item
+    # leaves on `item_axis`, per-respondent leaves on `respondent_axis`
+    if iax is None and rax is None:
+        state_specs = GPIRTState(theta_idx=P(ax), f=P(ax), beta=P(ax),
+                                 thresholds=P(ax), fstar=P(ax))
     else:
         state_specs = GPIRTState(
-            theta_idx=P(axis),
-            f=P(axis, None, None, iax),
-            beta=P(axis, None, None, iax),
-            thresholds=P(axis, None, iax, None),
-            fstar=P(axis, None, None, iax),
+            theta_idx=P(ax, None, rax),
+            f=P(ax, None, rax, iax),
+            beta=P(ax, None, None, iax),
+            thresholds=P(ax, None, iax, None),
+            fstar=P(ax, None, None, iax),
         )
-        y_spec = P(None, None, iax)
-        thr_spec = P(None, iax, None)
-
-    def consts_specs(consts):
-        if iax is None:
-            return spec(consts, False)
-        from gpirt_tpu.parallel.items import consts_item_specs
-        return consts_item_specs(consts, iax)
+    y_spec = P(None, rax, iax) if (iax or rax) else P()
+    thr_spec = P(None, iax, None) if iax is not None else P()
+    ti_spec = P(ax, None, rax) if per_chain_init else P(None, rax)
 
     def sharded_init(k_init, theta_init, thresholds_init, y, consts):
         fn = shard_map(
             init, mesh=mesh,
-            in_specs=(P(axis), spec(theta_init, per_chain_init), thr_spec,
-                      y_spec, consts_specs(consts)),
+            in_specs=(P(ax), ti_spec, thr_spec,
+                      y_spec, consts_mesh_specs(consts, iax, rax)),
             out_specs=state_specs, check_vma=False,
         )
         return jax.jit(fn)(k_init, theta_init, thresholds_init, y, consts)
@@ -271,17 +272,17 @@ def _programs(config: GPIRTConfig, K: int, n_steps: int, max_temp: float,
     def sharded_run(states, k_run, k_res, y, consts):
         fn = shard_map(
             run, mesh=mesh,
-            in_specs=(state_specs, P(axis), P(),
-                      y_spec, consts_specs(consts)),
+            in_specs=(state_specs, P(ax), P(),
+                      y_spec, consts_mesh_specs(consts, iax, rax)),
             # ess/resample traces are computed identically on every device
-            out_specs=(state_specs, P(axis), P(), P()), check_vma=False,
+            out_specs=(state_specs, P(ax), P(), P()), check_vma=False,
         )
         return jax.jit(fn)(states, k_run, k_res, y, consts)
 
     def sharded_final(states, logw, k_res):
         fn = shard_map(
             final_resample, mesh=mesh,
-            in_specs=(state_specs, P(axis), P()),
+            in_specs=(state_specs, P(ax), P()),
             out_specs=(state_specs, P()), check_vma=False,
         )
         return jax.jit(fn)(states, logw, k_res)
@@ -304,6 +305,7 @@ def anneal_init(
     mesh=None,
     axis: str = "chains",
     item_axis=None,
+    respondent_axis=None,
 ):
     """Anneal K chains from T=max_temp to T=1. Returns (states, info).
 
@@ -319,26 +321,46 @@ def anneal_init(
     unsharded run to reduction-order rounding (see _programs). K must
     divide by mesh.shape[axis]. ``item_axis`` names a second mesh axis to
     shard the item dimension (2-D chains x items; the returned states are
-    item-sharded and feed run_chains_itemsharded(initial_states=...)).
+    item-sharded and feed run_chains_itemsharded(initial_states=...));
+    ``respondent_axis`` the dual (states feed
+    run_chains_respondentsharded(initial_states=...)), composing to the
+    full 3-D mesh. A mesh without a chain axis (model-only sharding)
+    replicates the lanes per model shard.
     """
     if config.resolved_f_method != "conjugate":
         raise NotImplementedError("anneal_init needs f_method='conjugate'")
     K = int(keys.shape[0])
-    if item_axis is not None and (mesh is None or item_axis not in mesh.shape):
-        raise ValueError(
-            f"item_axis={item_axis!r} needs a mesh carrying that axis"
-        )
-    if mesh is not None and axis not in mesh.shape:
-        raise ValueError(f"mesh has no chain axis named {axis!r}")
-    if mesh is not None and K % mesh.shape[axis] != 0:
-        raise ValueError(
-            f"{K} chains do not divide over {mesh.shape[axis]} "
-            "chain-axis devices"
-        )
+    for name, ax_name in (("item_axis", item_axis),
+                          ("respondent_axis", respondent_axis)):
+        if ax_name is not None and (mesh is None or ax_name not in mesh.shape):
+            raise ValueError(
+                f"{name}={ax_name!r} needs a mesh carrying that axis"
+            )
+    if mesh is not None:
+        if axis in mesh.shape:
+            if K % mesh.shape[axis] != 0:
+                raise ValueError(
+                    f"{K} chains do not divide over {mesh.shape[axis]} "
+                    "chain-axis devices"
+                )
+        elif item_axis is None and respondent_axis is None:
+            raise ValueError(f"mesh has no chain axis named {axis!r}")
+        if item_axis is not None and int(y.shape[-1]) % mesh.shape[item_axis]:
+            raise ValueError(
+                f"m={int(y.shape[-1])} does not divide over "
+                f"{mesh.shape[item_axis]} item shards"
+            )
+        if respondent_axis is not None and \
+                int(y.shape[-2]) % mesh.shape[respondent_axis]:
+            raise ValueError(
+                f"n={int(y.shape[-2])} does not divide over "
+                f"{mesh.shape[respondent_axis]} respondent shards"
+            )
     theta_init = jnp.asarray(theta_init, config.jdtype)
     init, run, final_resample = _programs(
         config, K, n_steps, float(max_temp), sweeps_per_step,
         float(ess_threshold), theta_init.ndim == 3, mesh, axis, item_axis,
+        respondent_axis,
     )
     lane = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
     k_init, k_run, k_res = lane[:, 0], lane[:, 1], lane[0, 2]

@@ -70,13 +70,14 @@ def temperature_ladder(n_temps: int, max_temp: float) -> np.ndarray:
     return max_temp ** (np.arange(n_temps) / (n_temps - 1))
 
 
-def _lane_ll(states, temps_eval, y, consts, item_axis=None):
+def _lane_ll(states, temps_eval, y, consts, item_axis=None,
+             respondent_axis=None):
     """l_{temps_eval[k]}(S_k) for every lane: (K,) tempered data ll.
 
-    Under item sharding the local sum covers this device's item shard only;
-    one psum over ``item_axis`` completes it, so every item shard sees the
-    identical swap deltas (and takes identical accept decisions from the
-    replicated swap-uniform stream)."""
+    Under item/respondent sharding the local sum covers this device's model
+    shard only; one psum over the model axes completes it, so every model
+    shard sees the identical swap deltas (and takes identical accept
+    decisions from the replicated swap-uniform stream)."""
 
     def one(s, t):
         theta = theta_from_indices(s.theta_idx, consts)
@@ -85,13 +86,15 @@ def _lane_ll(states, temps_eval, y, consts, item_axis=None):
         return jnp.sum(ordinal_ll_terms(g, y, s.thresholds, inv_s))
 
     ll = jax.vmap(one)(states, temps_eval)
-    if item_axis is not None:
-        ll = jax.lax.psum(ll, item_axis)
+    model_axes = tuple(a for a in (item_axis, respondent_axis)
+                       if a is not None)
+    if model_axes:
+        ll = jax.lax.psum(ll, model_axes)
     return ll
 
 
 def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None,
-          item_axis=None):
+          item_axis=None, respondent_axis=None):
     """One even/odd adjacent-pair swap phase (parity = i % 2).
 
     ``ll_own`` is each lane's own-temperature data ll of the CURRENT state
@@ -105,10 +108,11 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None,
     only cross-device coupling is the shared swap-uniform stream — every
     device draws the full ensemble's uniforms from the replicated k_swap and
     slices its block, which keeps sharded == unsharded bit-for-bit without
-    any collective. ``item_axis`` non-None additionally shards the ITEM
-    dimension: the cross-temperature lls complete via one psum per phase
-    (see _lane_ll) and the uniform slice indexes by the CHAIN-axis
-    coordinate only, so all item shards of a group take identical swaps.
+    any collective. ``item_axis`` / ``respondent_axis`` non-None
+    additionally shard the ITEM / RESPONDENT dimensions: the
+    cross-temperature lls complete via one psum per phase (see _lane_ll)
+    and the uniform slice indexes by the CHAIN-axis coordinate only, so
+    all model shards of a group take identical swaps.
     """
     K = G * L
     lane = jnp.arange(K)
@@ -118,7 +122,8 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None,
     valid = (partner_l >= 0) & (partner_l < L)
     partner = jnp.where(valid, lane + (partner_l - l), lane)  # (K,)
 
-    ll_cross = _lane_ll(states, temps[partner], y, consts, item_axis)
+    ll_cross = _lane_ll(states, temps[partner], y, consts, item_axis,
+                        respondent_axis)
     delta = (ll_cross + ll_cross[partner]) - (ll_own + ll_own[partner])
 
     pair_lo = jnp.minimum(lane, partner)
@@ -143,18 +148,20 @@ def _swap(states, ll_own, temps, k_swap, i, G, L, y, consts, axis=None,
 
 
 def _tempered_sweep(states, i, k_run, temps, k_swap, swap_every, G, L,
-                    y, consts, config, axis=None, item_axis=None):
+                    y, consts, config, axis=None, item_axis=None,
+                    respondent_axis=None):
     """One lockstep tempered sweep + (periodic) swap phase."""
     keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(k_run)
     states, ll = jax.vmap(
         lambda s, k, t: gibbs_sweep(s, k, y, consts, config, t, iteration=i,
-                                    item_axis=item_axis)
+                                    item_axis=item_axis,
+                                    respondent_axis=respondent_axis)
     )(states, keys, temps)
     if swap_every > 0:
         do_swap = (i % swap_every) == 0
         swapped, ll_post, acc = _swap(
             states, ll, temps, k_swap, i // swap_every, G, L, y, consts,
-            axis, item_axis,
+            axis, item_axis, respondent_axis,
         )
         states = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_swap, b, a), states, swapped
@@ -190,36 +197,41 @@ def _cold_record(s, ll, G, L, consts, config, store_f, store_fstar):
 
 
 
-def _lane_state_specs(axis, item_axis):
+def _lane_state_specs(axis, item_axis, respondent_axis=None):
     """PartitionSpecs for a lane-stacked (K, ...) GPIRTState: lanes shard
-    over the chain axis; per-item dims over ``item_axis`` when given."""
+    over the chain axis; per-item dims over ``item_axis`` and per-respondent
+    dims over ``respondent_axis`` when given."""
     from gpirt_tpu.models.gibbs import GPIRTState
 
-    if item_axis is None:
+    iax, rax = item_axis, respondent_axis
+    if iax is None and rax is None:
         return GPIRTState(*([P(axis)] * 5))
     return GPIRTState(
-        theta_idx=P(axis),
-        f=P(axis, None, None, item_axis),
-        beta=P(axis, None, None, item_axis),
-        thresholds=P(axis, None, item_axis, None),
-        fstar=P(axis, None, None, item_axis),
+        theta_idx=P(axis, None, rax),
+        f=P(axis, None, rax, iax),
+        beta=P(axis, None, None, iax),
+        thresholds=P(axis, None, iax, None),
+        fstar=P(axis, None, None, iax),
     )
 
 
-def _shard_lanewise(fn, mesh, axis, out_specs, item_axis=None):
+def _shard_lanewise(fn, mesh, axis, out_specs, item_axis=None,
+                    respondent_axis=None):
     """Wrap a (states, k_run, temps, k_swap, scalar, y, consts) -> outs
     program in shard_map over whole groups: lane-carrying inputs/outputs
-    shard on axis 0 (the chain axis), per-item dims over ``item_axis`` when
-    the mesh also shards items, everything else replicates. ``out_specs``
-    is an explicit PartitionSpec pytree matching fn's outputs."""
-    from gpirt_tpu.parallel.items import consts_item_specs
+    shard on axis 0 (the chain axis), per-item / per-respondent dims over
+    ``item_axis`` / ``respondent_axis`` when the mesh also shards the model,
+    everything else replicates. ``out_specs`` is an explicit PartitionSpec
+    pytree matching fn's outputs."""
+    from gpirt_tpu.parallel.respondents import consts_mesh_specs
+
+    iax, rax = item_axis, respondent_axis
 
     def wrapped(states, k_run, temps, k_swap, scalar, y, consts):
         in_specs = (
-            _lane_state_specs(axis, item_axis), P(axis), P(axis), P(), P(),
-            P(None, None, item_axis) if item_axis is not None else P(),
-            consts_item_specs(consts, item_axis) if item_axis is not None
-            else jax.tree_util.tree_map(lambda _: P(), consts),
+            _lane_state_specs(axis, iax, rax), P(axis), P(axis), P(), P(),
+            P(None, rax, iax) if (iax or rax) else P(),
+            consts_mesh_specs(consts, iax, rax),
         )
         return jax.jit(shard_map(
             fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
@@ -241,9 +253,11 @@ def _t_init_program(config: GPIRTConfig, per_group_init: bool, L: int):
 @functools.lru_cache(maxsize=32)
 def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
                        G: int, L: int, mesh: Optional[Mesh] = None,
-                       axis: str = "chains", item_axis: Optional[str] = None):
+                       axis: str = "chains", item_axis: Optional[str] = None,
+                       respondent_axis: Optional[str] = None):
     ax = axis if (mesh is not None and axis in mesh.shape) else None
     iax = item_axis if mesh is not None else None
+    rax = respondent_axis if mesh is not None else None
     G_loc = G if ax is None else G // mesh.shape[axis]
 
     def run(states, k_run, temps, k_swap, start, y, consts):
@@ -251,7 +265,7 @@ def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
             s, acc = carry
             s, _, a = _tempered_sweep(
                 s, start + j, k_run, temps, k_swap, swap_every, G_loc, L,
-                y, consts, config, ax, iax,
+                y, consts, config, ax, iax, rax,
             )
             return (s, acc + a.astype(jnp.int32)), None
 
@@ -262,7 +276,8 @@ def _t_advance_program(config: GPIRTConfig, count: int, swap_every: int,
     if mesh is None:
         return jax.jit(run)
     return _shard_lanewise(run, mesh, ax,
-                           (_lane_state_specs(ax, iax), P(ax)), iax)
+                           (_lane_state_specs(ax, iax, rax), P(ax)),
+                           iax, rax)
 
 
 @functools.lru_cache(maxsize=32)
@@ -270,9 +285,11 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
                        swap_every: int, G: int, L: int,
                        store_f: bool, store_fstar: bool, final: bool,
                        mesh: Optional[Mesh] = None, axis: str = "chains",
-                       item_axis: Optional[str] = None):
+                       item_axis: Optional[str] = None,
+                       respondent_axis: Optional[str] = None):
     ax = axis if (mesh is not None and axis in mesh.shape) else None
     iax = item_axis if mesh is not None else None
+    rax = respondent_axis if mesh is not None else None
     G_loc = G if ax is None else G // mesh.shape[axis]
 
     def run(states, k_run, temps, k_swap, start0, y, consts):
@@ -280,7 +297,7 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
             s, acc = carry
             s, ll, a = _tempered_sweep(
                 s, start, k_run, temps, k_swap, swap_every, G_loc, L,
-                y, consts, config, ax, iax,
+                y, consts, config, ax, iax, rax,
             )
             acc = acc + a.astype(jnp.int32)
             out = _cold_record(s, ll, G_loc, L, consts, config,
@@ -292,7 +309,7 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
                 s2, acc2 = c
                 s2, _, a2 = _tempered_sweep(
                     s2, start + j, k_run, temps, k_swap, swap_every, G_loc,
-                    L, y, consts, config, ax, iax,
+                    L, y, consts, config, ax, iax, rax,
                 )
                 return (s2, acc2 + a2.astype(jnp.int32)), None
 
@@ -327,20 +344,22 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
 
     if mesh is None:
         return jax.jit(run)
-    # outs carry the group axis first -> sharded like the lanes; per-item
-    # record dims reassemble over the item axis when the mesh shards items
+    # outs carry the group axis first -> sharded like the lanes; per-item /
+    # per-respondent record dims reassemble over their model axes when the
+    # mesh shards the model
     rec_specs = {
-        "theta": P(ax),
+        "theta": P(ax, None, None, rax),
         "beta": P(ax, None, None, None, iax),
         "threshold": P(ax, None, None, iax, None),
         "ll": P(ax),
     }
     if store_f:
-        rec_specs["f"] = P(ax, None, None, None, iax)
+        rec_specs["f"] = P(ax, None, None, rax, iax)
     if store_fstar:
         rec_specs["fstar"] = P(ax, None, None, None, iax)
     return _shard_lanewise(
-        run, mesh, ax, (_lane_state_specs(ax, iax), P(ax), rec_specs), iax,
+        run, mesh, ax,
+        (_lane_state_specs(ax, iax, rax), P(ax), rec_specs), iax, rax,
     )
 
 
@@ -355,7 +374,8 @@ class TemperedPrograms:
     def __init__(self, keys, y, thresholds_init, consts, config, *,
                  n_temps, max_temp, sample_iterations, burn_iterations,
                  thin, store_f=False, store_fstar=False, swap_every=1,
-                 mesh=None, axis="chains", item_axis=None):
+                 mesh=None, axis="chains", item_axis=None,
+                 respondent_axis=None):
         if config.resolved_f_method != "conjugate":
             raise NotImplementedError(
                 "parallel tempering needs f_method='conjugate'"
@@ -364,6 +384,12 @@ class TemperedPrograms:
                                       or item_axis not in mesh.shape):
             raise ValueError(
                 f"item_axis={item_axis!r} needs a mesh with that axis name"
+            )
+        if respondent_axis is not None and (
+                mesh is None or respondent_axis not in mesh.shape):
+            raise ValueError(
+                f"respondent_axis={respondent_axis!r} needs a mesh with "
+                "that axis name"
             )
         if mesh is not None:
             n_chain_dev = mesh.shape.get(axis, 1)
@@ -380,9 +406,17 @@ class TemperedPrograms:
                         f"m={m} does not divide over "
                         f"{mesh.shape[item_axis]} item shards"
                     )
+            if respondent_axis is not None:
+                n = int(y.shape[-2])
+                if n % mesh.shape[respondent_axis] != 0:
+                    raise ValueError(
+                        f"n={n} does not divide over "
+                        f"{mesh.shape[respondent_axis]} respondent shards"
+                    )
         self.mesh = mesh
         self.axis = axis
         self.item_axis = item_axis
+        self.respondent_axis = respondent_axis
         self.y = y
         self.consts = consts
         self.config = config
@@ -418,7 +452,7 @@ class TemperedPrograms:
     def advance(self, states, start, count):
         fn = _t_advance_program(self.config, count, self.swap_every,
                                 self.G, self.L, self.mesh, self.axis,
-                                self.item_axis)
+                                self.item_axis, self.respondent_axis)
         return fn(states, self.k_run, self.temps, self.k_swap, start,
                   self.y, self.consts)
 
@@ -426,7 +460,7 @@ class TemperedPrograms:
         fn = _t_records_program(
             self.config, count, self.thin, self.swap_every, self.G, self.L,
             self.store_f, self.store_fstar, bool(final) and self.thin > 1,
-            self.mesh, self.axis, self.item_axis,
+            self.mesh, self.axis, self.item_axis, self.respondent_axis,
         )
         start0 = self.sched.pre_iterations + start_rec * self.thin
         return fn(states, self.k_run, self.temps, self.k_swap, start0,
@@ -454,6 +488,7 @@ def run_tempered_chains(
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
     item_axis: Optional[str] = None,
+    respondent_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Tempered ensemble run; returns COLD-chain draws (G, S, ...) plus
     ensemble swap diagnostics.
@@ -472,6 +507,11 @@ def run_tempered_chains(
     replicated uniform stream). Requires m %% mesh.shape[item_axis] == 0;
     the item-sharded run is NOT bitwise the unsharded one (per-item key
     streams fold the shard index — a different, equally valid sampler).
+    ``respondent_axis`` is the dual (parallel/respondents.py semantics:
+    per-respondent state/blocks device-local, per-item conditionals
+    completed by sufficient-statistic psums; requires
+    n %% mesh.shape[respondent_axis] == 0) and composes with both other
+    axes up to a 3-D chains x items x respondents tempered mesh.
     Output layout matches run_chains_chunked with a leading (G,) chains
     axis, plus:
       * "swap_rate": (L-1,) mean acceptance of adjacent swaps by rung.
@@ -482,6 +522,7 @@ def run_tempered_chains(
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
         mesh=mesh, axis=axis, item_axis=item_axis,
+        respondent_axis=respondent_axis,
     )
     states = progs.init(theta_init)
     total = progs.total

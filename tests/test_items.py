@@ -195,10 +195,11 @@ class TestItemShardedDriver:
                        burn_iterations=0, vote_codes=None, verbose=False,
                        item_axis="items")
         mesh = make_item_mesh(4, 2)
-        with pytest.raises(ValueError):  # tempering combination unsupported
+        with pytest.raises(ValueError):  # checkpointing combination
             gpirt_mcmc(np.asarray(y[0], float), sample_iterations=1,
                        burn_iterations=0, vote_codes=None, verbose=False,
-                       mesh=mesh, item_axis="items", n_temps=2)
+                       mesh=mesh, item_axis="items",
+                       checkpoint_path="/tmp/nope")
 
     def test_smc_item_sharded_pipeline(self):
         """The FULL default pipeline on a 2-D mesh: item-sharded SMC

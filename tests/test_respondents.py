@@ -341,7 +341,88 @@ class TestAPI:
                        burn_iterations=0, vote_codes=None, verbose=False,
                        respondent_axis="respondents")
         mesh = make_respondent_mesh(4, n_chain_shards=2)
-        with pytest.raises(ValueError):  # SMC combination unsupported
+        with pytest.raises(ValueError):  # checkpointing combination
             gpirt_mcmc(np.asarray(y[0], float), sample_iterations=1,
                        burn_iterations=0, vote_codes=None, verbose=False,
-                       mesh=mesh, respondent_axis="respondents", smc_steps=4)
+                       mesh=mesh, respondent_axis="respondents",
+                       checkpoint_path="/tmp/nope")
+
+    def test_smc_respondent_sharded_pipeline(self):
+        """The FULL default pipeline on a 2-D (chains x respondents) mesh:
+        respondent-sharded SMC annealing feeding respondent-sharded sampling
+        (anneal_init(respondent_axis=...) ->
+        run_chains_respondentsharded(initial_states=...)), via gpirt_mcmc."""
+        from gpirt_tpu.api import gpirt_mcmc
+
+        _, y, _, _, _, _ = _setup(n=16, m=8)
+        mesh = make_respondent_mesh(4, n_chain_shards=2)
+        out = gpirt_mcmc(
+            np.asarray(y[0], float), sample_iterations=8, burn_iterations=2,
+            CHAIN=4, vote_codes=None, dtype="float64", verbose=False,
+            mesh=mesh, respondent_axis="respondents", smc_steps=6,
+            smc_max_temp=8.0,
+        )
+        assert len(out) == 4
+        assert out[0]["theta"].shape == (8, 16, 1)
+        assert all(np.all(np.isfinite(d["ll"])) for d in out)
+
+
+class TestAnnealRespondentSharded:
+    def test_respondent_only_mesh(self):
+        """anneal_init on a mesh with NO chain axis (model-only sharding:
+        lanes replicated per respondent shard, ax=None inside _programs),
+        states feeding the respondent-sharded driver."""
+        from gpirt_tpu.parallel.smc import anneal_init
+
+        theta_true, y, ti, thr, consts, config = _setup(n=32, m=24)
+        mesh = _resp_mesh()
+        keys = chain_keys(7, 4)
+        states, info = anneal_init(
+            keys, y, ti, thr, consts, config, n_steps=8, max_temp=8.0,
+            mesh=mesh, respondent_axis=RAX,
+        )
+        H, n, m = y.shape
+        assert states.theta_idx.shape == (4, H, n)
+        assert states.fstar.shape == (4, H, config.grid_size, m)
+        assert np.isfinite(info["final_weight_ess"])
+        assert info["final_weight_ess"] >= 1.0
+
+        draws = run_chains_respondentsharded(
+            keys, y, ti, thr, consts, config,
+            sample_iterations=10, burn_iterations=0, mesh=mesh,
+            initial_states=states,
+        )
+        assert draws["theta"].shape == (4, 10, H, n)
+        assert np.all(np.isfinite(np.asarray(draws["ll"])))
+
+    def test_3d_mesh_anneal(self):
+        """anneal_init on the full 3-D chains x items x respondents mesh."""
+        from gpirt_tpu.parallel.smc import anneal_init
+
+        _, y, ti, thr, consts, config = _setup(n=24, m=16)
+        mesh = make_respondent_mesh(2, n_chain_shards=2, n_item_shards=2)
+        keys = chain_keys(9, 4)
+        states, info = anneal_init(
+            keys, y, ti, thr, consts, config, n_steps=8, max_temp=8.0,
+            mesh=mesh, item_axis="items", respondent_axis=RAX,
+        )
+        H, n, m = y.shape
+        assert states.theta_idx.shape == (4, H, n)
+        assert states.beta.shape == (4, H, 3, m)
+        assert np.isfinite(info["final_weight_ess"])
+        draws = run_chains_respondentsharded(
+            keys, y, ti, thr, consts, config,
+            sample_iterations=10, burn_iterations=0, mesh=mesh,
+            item_axis="items", initial_states=states,
+        )
+        assert draws["theta"].shape == (4, 10, H, n)
+        assert np.all(np.isfinite(np.asarray(draws["ll"])))
+
+    def test_uneven_respondents_raise(self):
+        from gpirt_tpu.parallel.smc import anneal_init
+
+        _, y, ti, thr, consts, config = _setup(n=12, m=8)  # 12 % 8 != 0
+        with pytest.raises(ValueError, match="divide"):
+            anneal_init(chain_keys(0, 4), y, ti, thr, consts, config,
+                        n_steps=4, max_temp=4.0, mesh=_resp_mesh(),
+                        respondent_axis=RAX)

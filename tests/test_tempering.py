@@ -284,6 +284,144 @@ def test_item_sharded_tempered_validation():
         )
 
 
+# ---------------------------------------------------------------------------
+# respondent-sharded tempering (2-D groups x respondents / full 3-D mesh)
+# ---------------------------------------------------------------------------
+
+
+def test_respondent_sharded_swap_replication():
+    """Under respondent sharding, the lane states' replicated leaves (beta,
+    thresholds) and the swap decisions must be bit-consistent on every
+    respondent shard after tempered sweeps WITH swap phases (the psum'd
+    cross-temperature lls feed the accept comparisons)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from gpirt_tpu.parallel.respondents import consts_mesh_specs
+    from gpirt_tpu.parallel.tempering import _tempered_sweep
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    config, consts, y, thr = _setup_items()
+    G, L = 1, 4
+    K = G * L
+    RAX = "respondents"
+    mesh = Mesh(np.array(jax.devices()[:2]), (RAX,))
+    temps = jnp.asarray(np.tile(temperature_ladder(L, 8.0), G))
+    k_init = jax.random.split(jax.random.key(0), K)
+    k_run = jax.random.split(jax.random.key(1), K)
+    k_swap = jax.random.key(2)
+
+    def body(yy, cc, ti_loc):
+        states = jax.vmap(
+            lambda k: init_state(k, ti_loc, jnp.asarray(thr, jnp.float64),
+                                 yy, cc, config)
+        )(k_init)
+        acc_tot = jnp.zeros((K,), jnp.int32)
+        for i in range(10):
+            states, ll, acc = _tempered_sweep(
+                states, i, k_run, temps, k_swap, 1, G, L, yy, cc, config,
+                axis=None, item_axis=None, respondent_axis=RAX,
+            )
+            acc_tot = acc_tot + acc.astype(jnp.int32)
+
+        def dev(v):  # max abs deviation across respondent shards
+            g = jax.lax.all_gather(v, RAX)
+            return jnp.max(jnp.abs(g - g[0]))
+
+        # interior cutpoints only: the +-inf endpoint columns would give
+        # inf - inf = NaN in the deviation even when bit-identical
+        return (dev(states.beta), dev(states.thresholds[..., 1:-1]), dev(ll),
+                dev(acc_tot), jnp.sum(acc_tot))
+
+    fn = jax.jit(shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, RAX, None), consts_mesh_specs(consts, None, RAX),
+                  P(None, RAX)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    ))
+    d_beta, d_thr, d_ll, d_acc, n_acc = fn(
+        y, consts, jnp.zeros((1, config.n))
+    )
+    assert float(d_beta) == 0.0
+    assert float(d_thr) == 0.0
+    assert float(d_ll) == 0.0
+    assert float(d_acc) == 0.0
+    assert int(n_acc) > 0  # swaps actually exercised
+
+
+def test_respondent_sharded_tempered_driver():
+    """Full 2-D (groups x respondents) tempered run: shapes, finiteness,
+    swap diagnostics."""
+    from gpirt_tpu.parallel.respondents import make_respondent_mesh
+
+    config, consts, y, thr = _setup_items()
+    mesh = make_respondent_mesh(2, n_chain_shards=4)
+    d = run_tempered_chains(
+        chain_keys(5, 4), y, np.zeros((1, config.n)), thr, consts, config,
+        sample_iterations=40, burn_iterations=10, n_temps=2, max_temp=4.0,
+        chunk_iterations=25, mesh=mesh, respondent_axis="respondents",
+        store_f=True,
+    )
+    assert d["theta"].shape == (4, 40, 1, config.n)
+    assert d["beta"].shape == (4, 40, 1, 3, config.m)
+    assert d["f"].shape == (4, 40, 1, config.n, config.m)
+    assert bool(np.isfinite(np.asarray(d["theta"])).all())
+    assert bool(np.isfinite(np.asarray(d["ll"])).all())
+    assert d["swap_rate"].shape == (1,)
+
+
+def test_tempered_3d_mesh():
+    """Tempering on the full 3-D chains x items x respondents mesh."""
+    from gpirt_tpu.parallel.respondents import make_respondent_mesh
+
+    config, consts, y, thr = _setup_items()
+    mesh = make_respondent_mesh(2, n_chain_shards=2, n_item_shards=2)
+    d = run_tempered_chains(
+        chain_keys(11, 2), y, np.zeros((1, config.n)), thr, consts, config,
+        sample_iterations=20, burn_iterations=5, n_temps=2, max_temp=4.0,
+        mesh=mesh, item_axis="items", respondent_axis="respondents",
+    )
+    assert d["theta"].shape == (2, 20, 1, config.n)
+    assert d["beta"].shape == (2, 20, 1, 3, config.m)
+    assert bool(np.isfinite(np.asarray(d["ll"])).all())
+
+
+def test_respondent_sharded_tempered_validation():
+    from gpirt_tpu.parallel.respondents import make_respondent_mesh
+
+    config, consts, y, thr = _setup_items(n=7)  # 7 % 2 != 0
+    mesh = make_respondent_mesh(2, n_chain_shards=2)
+    with pytest.raises(ValueError, match="divide"):
+        run_tempered_chains(
+            chain_keys(0, 2), y, np.zeros((1, config.n)), thr, consts,
+            config, sample_iterations=2, burn_iterations=0, n_temps=2,
+            mesh=mesh, respondent_axis="respondents",
+        )
+
+
+def test_api_tempered_respondent_axis():
+    """gpirt_mcmc(n_temps=..., mesh=..., respondent_axis=...) end to end."""
+    from gpirt_tpu.api import gpirt_mcmc
+    from gpirt_tpu.parallel.respondents import make_respondent_mesh
+
+    rng = np.random.default_rng(0)
+    yraw = rng.integers(1, 3, size=(12, 8)).astype(float)
+    mesh = make_respondent_mesh(2, n_chain_shards=2)
+    out = gpirt_mcmc(
+        yraw, sample_iterations=10, burn_iterations=5, CHAIN=2,
+        vote_codes=None, dtype="float64", verbose=False,
+        n_temps=2, max_temp=4.0, mesh=mesh,
+        respondent_axis="respondents",
+    )
+    assert len(out) == 2
+    assert out[0]["theta"].shape == (10, 12, 1)
+    assert np.all(np.isfinite(out[0]["ll"]))
+    assert "swap_rate" in out[0]
+
+
 def test_api_tempered_item_axis():
     """gpirt_mcmc(n_temps=..., mesh=..., item_axis=...) end to end."""
     from gpirt_tpu.api import gpirt_mcmc
