@@ -156,7 +156,11 @@ def gpirt_mcmc(
 
     TPU-specific keywords: ``dtype`` (float32 on TPU; float64 for CPU parity
     runs), ``fstar_method`` ("matheron" fast path / "chol" reference-style),
-    ``mesh`` to spread chains over devices — pass ``item_axis`` naming a
+    ``mesh`` to spread chains over devices (composes with
+    ``checkpoint_path``: the chunked checkpointed driver shard_maps its
+    programs over the mesh's "chains" axis, and the host-numpy checkpoints
+    are device-layout free, so a run can resume on a different mesh or on
+    none) — pass ``item_axis`` naming a
     mesh axis to ALSO shard the item dimension model-parallel (per-item
     state and blocks device-local, one theta-table psum per sweep;
     parallel/items.py — the TPU mapping of the reference's OpenMP
@@ -220,11 +224,6 @@ def gpirt_mcmc(
         raise ValueError(
             "checkpoint_path does not support tempered ensembles (n_temps > "
             "1) yet; run tempering without checkpointing"
-        )
-    if mesh is not None and checkpoint_path is not None:
-        raise ValueError(
-            "mesh is not supported with checkpointed runs yet; plain "
-            "multi-chain, SMC-initialized, and tempered runs accept a mesh"
         )
     if item_axis is not None:
         if mesh is None or item_axis not in mesh.shape:
@@ -380,7 +379,7 @@ def gpirt_mcmc(
 
             initial_states, info = anneal_init(
                 keys, jnp.asarray(y), th_inits, thresholds_init, consts,
-                config, n_steps=smc_steps, max_temp=smc_max_temp,
+                config, n_steps=smc_steps, max_temp=smc_max_temp, mesh=mesh,
             )
             if verbose:
                 print(f"[gpirt] SMC init: {smc_steps} steps from "
@@ -395,6 +394,7 @@ def gpirt_mcmc(
             thin=THIN, store_f=store_f, store_fstar=store_fstar,
             manager=mgr, checkpoint_every=checkpoint_every,
             on_progress=on_progress, initial_states=initial_states,
+            mesh=mesh,
         )
         return _with_labels([
             _to_reference_layout({k: v[c] for k, v in draws.items()})

@@ -145,18 +145,38 @@ def run_chains(
 # ---------------------------------------------------------------------------
 
 
+def _maybe_shard(vmapped, mesh, axis, in_specs, out_specs):
+    """jit(vmapped) on one device, jit(shard_map(vmapped)) over a chain mesh.
+
+    shard_map (not jit-with-shardings) for the same reason as run_chains:
+    each device's chains run their ESS while-loops independently, with no
+    global lock-step of rejection rounds across devices. ``in_specs``
+    entries are pytree prefixes, so a single P(axis) covers the whole
+    GPIRTState subtree.
+    """
+    if mesh is None:
+        return jax.jit(vmapped)
+    return jax.jit(shard_map(vmapped, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False))
+
+
 @functools.lru_cache(maxsize=64)
-def _init_program(config: GPIRTConfig, per_chain_init: bool):
+def _init_program(config: GPIRTConfig, per_chain_init: bool,
+                  mesh: Optional[Mesh] = None, axis: str = "chains"):
     init_axis = 0 if per_chain_init else None
 
     def one(key, ti, thr, y, consts):
         return init_state(key, ti, thr, y, consts, config)
 
-    return jax.jit(jax.vmap(one, in_axes=(0, init_axis, None, None, None)))
+    vmapped = jax.vmap(one, in_axes=(0, init_axis, None, None, None))
+    init_spec = P(axis) if per_chain_init else P()
+    return _maybe_shard(vmapped, mesh, axis,
+                        (P(axis), init_spec, P(), P(), P()), P(axis))
 
 
 @functools.lru_cache(maxsize=64)
-def _advance_program(config: GPIRTConfig, count: int):
+def _advance_program(config: GPIRTConfig, count: int,
+                     mesh: Optional[Mesh] = None, axis: str = "chains"):
     """Advance all chains `count` sweeps; iteration i uses fold_in(kr, i)."""
 
     def one(s, kr, start, y, consts):
@@ -170,7 +190,9 @@ def _advance_program(config: GPIRTConfig, count: int):
         s, _ = jax.lax.scan(body, s, jnp.arange(count))
         return s
 
-    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
+    vmapped = jax.vmap(one, in_axes=(0, 0, None, None, None))
+    return _maybe_shard(vmapped, mesh, axis,
+                        (P(axis), P(axis), P(), P(), P()), P(axis))
 
 
 def _record_draw(s, ll, consts, config, store_f, store_fstar):
@@ -192,7 +214,8 @@ def _record_draw(s, ll, consts, config, store_f, store_fstar):
 
 @functools.lru_cache(maxsize=64)
 def _records_program(config: GPIRTConfig, count: int, thin: int,
-                     store_f: bool, store_fstar: bool, final: bool):
+                     store_f: bool, store_fstar: bool, final: bool,
+                     mesh: Optional[Mesh] = None, axis: str = "chains"):
     """Emit `count` thinned records; record r covers absolute iterations
     [start0 + r*thin, start0 + (r+1)*thin) with the draw taken after the
     first sweep of the window (run_chain's sample_step semantics).
@@ -246,7 +269,10 @@ def _records_program(config: GPIRTConfig, count: int, thin: int,
                 )
         return s, outs
 
-    return jax.jit(jax.vmap(one, in_axes=(0, 0, None, None, None)))
+    vmapped = jax.vmap(one, in_axes=(0, 0, None, None, None))
+    return _maybe_shard(vmapped, mesh, axis,
+                        (P(axis), P(axis), P(), P(), P()),
+                        (P(axis), P(axis)))
 
 
 def run_chains_chunked(
@@ -265,6 +291,8 @@ def run_chains_chunked(
     chunk_iterations: int = 250,
     on_progress=None,
     initial_states=None,
+    mesh: Optional[Mesh] = None,
+    axis: str = "chains",
 ) -> Dict[str, jnp.ndarray]:
     """``run_chains`` split into bounded device executions.
 
@@ -293,11 +321,17 @@ def run_chains_chunked(
 
     ``initial_states`` (lane-stacked GPIRTState) replaces the prior-draw
     initialization — e.g. an SMC-annealed ensemble (parallel/smc.py).
+
+    ``mesh`` shards the chain axis over devices (shard_map, like
+    run_chains); chunk boundaries stay host-side, so the chunked driver's
+    bounded-execution and progress/interrupt semantics carry over to the
+    sharded case unchanged.
     """
     progs = ChunkedPrograms(
         keys, y, thresholds_init, consts, config,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
+        mesh=mesh, axis=axis,
     )
     state = initial_states if initial_states is not None else progs.init(theta_init)
     total = progs.total
@@ -345,15 +379,26 @@ class ChunkedPrograms:
 
     def __init__(self, keys, y, thresholds_init, consts, config, *,
                  sample_iterations, burn_iterations, thin,
-                 store_f=False, store_fstar=False):
+                 store_f=False, store_fstar=False,
+                 mesh: Optional[Mesh] = None, axis: str = "chains"):
         from gpirt_tpu.models.sampler import sample_schedule
 
+        if mesh is not None:
+            if axis not in mesh.shape:
+                raise ValueError(f"mesh has no axis named {axis!r}")
+            if keys.shape[0] % mesh.shape[axis] != 0:
+                raise ValueError(
+                    f"{keys.shape[0]} chains do not divide evenly over "
+                    f"{mesh.shape[axis]} devices on mesh axis {axis!r}"
+                )
         self.y = y
         self.consts = consts
         self.config = config
         self.thin = thin
         self.store_f = store_f
         self.store_fstar = store_fstar
+        self.mesh = mesh
+        self.axis = axis
         self.thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
         self.sched = sample_schedule(sample_iterations, burn_iterations, thin)
         self.total = sample_iterations + burn_iterations
@@ -363,13 +408,14 @@ class ChunkedPrograms:
 
     def init(self, theta_init):
         theta_init = jnp.asarray(theta_init, self.config.jdtype)
-        fn = _init_program(self.config, theta_init.ndim == 3)
+        fn = _init_program(self.config, theta_init.ndim == 3,
+                           self.mesh, self.axis)
         return fn(self.k_init, theta_init, self.thresholds_init, self.y,
                   self.consts)
 
     def advance(self, state, start, count):
         """Advance all chains `count` sweeps from absolute iteration `start`."""
-        fn = _advance_program(self.config, count)
+        fn = _advance_program(self.config, count, self.mesh, self.axis)
         return fn(state, self.k_run, start, self.y, self.consts)
 
     def records(self, state, start_rec, count, final=False):
@@ -382,7 +428,7 @@ class ChunkedPrograms:
         """
         fn = _records_program(
             self.config, count, self.thin, self.store_f, self.store_fstar,
-            bool(final) and self.thin > 1,
+            bool(final) and self.thin > 1, self.mesh, self.axis,
         )
         start0 = self.sched.pre_iterations + start_rec * self.thin
         return fn(state, self.k_run, start0, self.y, self.consts)

@@ -108,6 +108,8 @@ def run_chains_checkpointed(
     checkpoint_every: int = 200,
     on_progress=None,
     initial_states=None,
+    mesh=None,
+    axis: str = "chains",
 ) -> Dict[str, np.ndarray]:
     """Resumable multi-chain run: ALL chains advance in one vmapped device
     program per chunk, checkpointed together (round 1 looped chains
@@ -120,6 +122,12 @@ def run_chains_checkpointed(
     incremental — each chunk's thinned records cross once, at checkpoint
     time — instead of round 1's every-chunk full-state shipping.
 
+    ``mesh`` shards the chain axis over devices (the ChunkedPrograms
+    shard_map path). Checkpoints are written as host numpy — device-layout
+    free — so a run checkpointed on one mesh can resume on another (or on
+    none): resume feeds the saved state back through the sharded program,
+    which reshards it per the in_specs.
+
     Returns host numpy draws with a leading chains axis.
     """
     from gpirt_tpu.parallel.chains import ChunkedPrograms
@@ -128,6 +136,7 @@ def run_chains_checkpointed(
         keys, y, thresholds_init, consts, config,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
+        mesh=mesh, axis=axis,
     )
 
     resumed = manager.load()

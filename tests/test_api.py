@@ -274,10 +274,32 @@ class TestOptionValidation:
         with pytest.raises(ValueError, match="tempered"):
             self._call(checkpoint_path=str(tmp_path / "ck"), n_temps=4)
 
-    def test_mesh_plus_checkpoint_raises(self):
-        mesh = jax.sharding.Mesh(np.array(jax.devices()[:1]), ("chains",))
-        with pytest.raises(ValueError, match="mesh"):
-            self._call(mesh=mesh, checkpoint_path="/tmp/x")
+    def test_mesh_plus_checkpoint_composes(self, tmp_path):
+        """A chain mesh now composes with checkpointing: the chunked
+        checkpointed driver shard_maps over the mesh, and the host-numpy
+        checkpoint resumes on a different mesh (or none) with close draws
+        (shard_map vs vmap compile differently; f64 associativity only)."""
+        mesh = jax.sharding.Mesh(np.array(jax.devices()), ("chains",))
+        path = str(tmp_path / "ck")
+        a = self._call(CHAIN=8, mesh=mesh, checkpoint_path=path,
+                       checkpoint_every=2)
+        assert len(a) == 8
+        # the finished checkpoint resumes WITHOUT a mesh: identical stored
+        # records (they were already host numpy in the checkpoint)
+        b = self._call(CHAIN=8, checkpoint_path=path, checkpoint_every=2)
+        np.testing.assert_array_equal(a[0]["theta"], b[0]["theta"])
+        # and the sharded checkpointed run matches the unsharded one
+        c = self._call(CHAIN=8, checkpoint_path=str(tmp_path / "ck2"),
+                       checkpoint_every=2)
+        np.testing.assert_allclose(a[0]["theta"], c[0]["theta"],
+                                   rtol=1e-8, atol=1e-8)
+
+    def test_model_axis_plus_checkpoint_raises(self):
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()).reshape(1, 8), ("chains", "items"))
+        with pytest.raises(ValueError, match="checkpoint"):
+            self._call(mesh=mesh, item_axis="items",
+                       checkpoint_path="/tmp/x")
 
     def test_mesh_plus_smc_runs(self):
         # SMC anneals over the mesh, then run_chains(mesh=...) continues

@@ -68,6 +68,41 @@ class TestCheckpoint:
         np.testing.assert_array_equal(full["theta"], resumed["theta"])
         np.testing.assert_array_equal(full["ll"], resumed["ll"])
 
+    def test_mesh_interrupt_resume_crosses_meshes(self, tmp_path):
+        """A run interrupted under an 8-device chain mesh resumes WITHOUT a
+        mesh (and vice versa): checkpoints are host numpy, device-layout
+        free, so the resumed run reproduces the unsharded uninterrupted one
+        up to shard_map-vs-vmap compile associativity."""
+        from gpirt_tpu.parallel.chains import chain_keys, make_chain_mesh
+        from gpirt_tpu.utils.checkpoint import run_chains_checkpointed
+
+        y, ti, thr, consts, config = _setup()
+        keys = chain_keys(11, 8)
+        mesh = make_chain_mesh(8)
+        kw = dict(sample_iterations=6, burn_iterations=2, thin=1)
+
+        full = run_chains_checkpointed(
+            keys, y, ti, thr, consts, config,
+            manager=CheckpointManager(os.path.join(tmp_path, "full.npz")),
+            checkpoint_every=4, **kw,
+        )
+
+        # partial run ON the mesh, then resume OFF the mesh
+        mgr = CheckpointManager(os.path.join(tmp_path, "x.npz"))
+        run_chains_checkpointed(
+            keys, y, ti, thr, consts, config, manager=mgr,
+            checkpoint_every=4, mesh=mesh,
+            sample_iterations=1, burn_iterations=2, thin=1,
+        )
+        assert mgr.exists()
+        resumed = run_chains_checkpointed(
+            keys, y, ti, thr, consts, config, manager=mgr,
+            checkpoint_every=4, **kw,
+        )
+        np.testing.assert_allclose(full["theta"], resumed["theta"],
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(full["ll"], resumed["ll"], rtol=1e-8)
+
     def test_manager_roundtrip(self, tmp_path):
         from gpirt_tpu.models.gibbs import GPIRTState
 

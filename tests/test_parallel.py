@@ -111,6 +111,39 @@ class TestChunkedChains:
         np.testing.assert_allclose(np.asarray(a["ll"]), b["ll"], rtol=1e-12)
         np.testing.assert_allclose(np.asarray(a["beta"]), b["beta"], rtol=1e-12)
 
+    def test_chunked_sharded_matches_unsharded(self):
+        """The chunked driver's shard_map path (mesh=) reproduces the
+        single-device chunked run (same key schedule; shard_map vs vmap
+        compile differently, so f64 associativity tolerance only)."""
+        from gpirt_tpu.parallel import run_chains_chunked
+
+        y, ti, thr, consts, config = _setup(n=10, m=5)
+        keys = chain_keys(5, 8)
+        mesh = make_chain_mesh(8)
+        kw = dict(sample_iterations=6, burn_iterations=2, thin=2,
+                  chunk_iterations=4)
+        a = run_chains_chunked(keys, jnp.asarray(y), ti, thr, consts, config,
+                               **kw)
+        b = run_chains_chunked(keys, jnp.asarray(y), ti, thr, consts, config,
+                               mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(a["theta"]),
+                                   np.asarray(b["theta"]),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a["ll"]), np.asarray(b["ll"]),
+                                   rtol=1e-8)
+
+    def test_chunked_uneven_chains_raise(self):
+        from gpirt_tpu.parallel import run_chains_chunked
+        import pytest
+
+        y, ti, thr, consts, config = _setup(n=8, m=4)
+        keys = chain_keys(0, 6)
+        mesh = make_chain_mesh(4)
+        with pytest.raises(ValueError, match="divide evenly"):
+            run_chains_chunked(keys, jnp.asarray(y), ti, thr, consts, config,
+                               sample_iterations=2, burn_iterations=0,
+                               mesh=mesh)
+
 
 class TestRicherDiagnostics:
     def test_rank_rhat_iid_near_one(self):
