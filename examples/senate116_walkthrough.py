@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+from gpirt_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()  # remote compiles cost minutes; see utils/cache.py
+
 
 def main():
     ap = argparse.ArgumentParser()

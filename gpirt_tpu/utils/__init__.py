@@ -10,8 +10,10 @@ from gpirt_tpu.utils.response import (
 )
 from gpirt_tpu.utils.diagnostics import split_rhat, effective_sample_size, summarize
 from gpirt_tpu.utils.rdata import load_rda
+from gpirt_tpu.utils.cache import enable_persistent_cache
 
 __all__ = [
+    "enable_persistent_cache",
     "ResponseMatrix",
     "response_matrix",
     "is_response_matrix",

@@ -25,6 +25,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(ROOT, ".jax_cache"))
 
+
+from gpirt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # env var alone is read too early; see utils/cache.py
 import numpy as np
 
 

@@ -24,6 +24,9 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
+from gpirt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # env var alone is read too early; see utils/cache.py
+
 import numpy as np
 
 

@@ -19,6 +19,8 @@ os.environ.setdefault(
 )
 
 import jax
+from gpirt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # env var alone is read too early; see utils/cache.py
 import jax.numpy as jnp
 import numpy as np
 

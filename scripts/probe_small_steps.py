@@ -4,6 +4,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"))
 import jax, jax.numpy as jnp, numpy as np
+from gpirt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # env var alone is read too early; see utils/cache.py
+
 from gpirt_tpu.models import GPIRTConfig, make_constants
 from gpirt_tpu.models.gibbs import (
     gibbs_sweep, init_state, theta_from_indices, draw_z_truncnorm, compute_mu,

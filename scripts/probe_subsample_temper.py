@@ -32,6 +32,8 @@ os.environ.setdefault(
 
 import numpy as np
 import jax
+from gpirt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # env var alone is read too early; see utils/cache.py
 import jax.numpy as jnp
 
 from gpirt_tpu.models import GPIRTConfig, make_constants
