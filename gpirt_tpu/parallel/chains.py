@@ -35,7 +35,7 @@ except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 __all__ = ["run_chains", "run_chains_chunked", "make_chain_mesh", "chain_keys",
-           "ChunkedPrograms"]
+           "ChunkedPrograms", "canonical_mesh", "lane_state_specs"]
 
 
 def make_chain_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Mesh:
@@ -44,6 +44,44 @@ def make_chain_mesh(n_devices: Optional[int] = None, axis: str = "chains") -> Me
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis,))
+
+
+# ADVICE r3: the module-level program caches key on Mesh objects, so a
+# caller that re-creates an identical Mesh per run would thrash the caches
+# (each entry pins device handles and a compiled executable) and re-trace.
+# Canonicalize: identical (device ids, shape, axis names) map to the FIRST
+# Mesh instance seen, so recreated meshes hit the same cache entries.
+_MESH_CANON: dict = {}
+
+
+def canonical_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """The canonical Mesh instance for this device/axis layout."""
+    if mesh is None:
+        return None
+    key = (
+        tuple(d.id for d in mesh.devices.flat),
+        mesh.devices.shape,
+        mesh.axis_names,
+    )
+    return _MESH_CANON.setdefault(key, mesh)
+
+
+def lane_state_specs(axis, item_axis=None, respondent_axis=None):
+    """PartitionSpecs for a lane-stacked (K, ...) GPIRTState: lanes shard
+    over the chain ``axis``; per-item dims over ``item_axis`` and
+    per-respondent dims over ``respondent_axis`` when given."""
+    from gpirt_tpu.models.gibbs import GPIRTState
+
+    iax, rax = item_axis, respondent_axis
+    if iax is None and rax is None:
+        return GPIRTState(*([P(axis)] * 5))
+    return GPIRTState(
+        theta_idx=P(axis, None, rax),
+        f=P(axis, None, rax, iax),
+        beta=P(axis, None, None, iax),
+        thresholds=P(axis, None, iax, None),
+        fstar=P(axis, None, None, iax),
+    )
 
 
 def chain_keys(seed: int, n_chains: int, impl: Optional[str] = None) -> jax.Array:
@@ -145,8 +183,8 @@ def run_chains(
 # ---------------------------------------------------------------------------
 
 
-def _maybe_shard(vmapped, mesh, axis, in_specs, out_specs):
-    """jit(vmapped) on one device, jit(shard_map(vmapped)) over a chain mesh.
+def _maybe_shard(vmapped, mesh, in_specs, out_specs):
+    """jit(vmapped) on one device, jit(shard_map(vmapped)) over a mesh.
 
     shard_map (not jit-with-shardings) for the same reason as run_chains:
     each device's chains run their ESS while-loops independently, with no
@@ -160,30 +198,66 @@ def _maybe_shard(vmapped, mesh, axis, in_specs, out_specs):
                              out_specs=out_specs, check_vma=False))
 
 
+def _data_specs(ax, iax, rax):
+    """(y, thresholds_init, consts) PartitionSpec builders for a mesh that
+    shards chains on ``ax`` and optionally the model on ``iax``/``rax``."""
+    from gpirt_tpu.parallel.respondents import consts_mesh_specs
+
+    y_spec = P(None, rax, iax) if (iax or rax) else P()
+    thr_spec = P(None, iax, None) if iax is not None else P()
+    return y_spec, thr_spec, functools.partial(consts_mesh_specs,
+                                               item_axis=iax,
+                                               respondent_axis=rax)
+
+
 @functools.lru_cache(maxsize=64)
 def _init_program(config: GPIRTConfig, per_chain_init: bool,
-                  mesh: Optional[Mesh] = None, axis: str = "chains"):
+                  mesh: Optional[Mesh] = None, axis: str = "chains",
+                  item_axis: Optional[str] = None,
+                  respondent_axis: Optional[str] = None):
     init_axis = 0 if per_chain_init else None
+    ax = axis if (mesh is not None and axis in mesh.shape) else None
+    iax = item_axis if mesh is not None else None
+    rax = respondent_axis if mesh is not None else None
 
     def one(key, ti, thr, y, consts):
-        return init_state(key, ti, thr, y, consts, config)
+        return init_state(key, ti, thr, y, consts, config, iax)
 
     vmapped = jax.vmap(one, in_axes=(0, init_axis, None, None, None))
-    init_spec = P(axis) if per_chain_init else P()
-    return _maybe_shard(vmapped, mesh, axis,
-                        (P(axis), init_spec, P(), P(), P()), P(axis))
+    if mesh is None:
+        return jax.jit(vmapped)
+    y_spec, thr_spec, consts_spec = _data_specs(ax, iax, rax)
+    if per_chain_init:
+        init_spec = P(ax, None, rax) if rax is not None else P(ax)
+    else:
+        init_spec = P(None, rax) if rax is not None else P()
+
+    def wrapped(k_init, ti, thr, y, consts):
+        fn = shard_map(
+            vmapped, mesh=mesh,
+            in_specs=(P(ax), init_spec, thr_spec, y_spec, consts_spec(consts)),
+            out_specs=lane_state_specs(ax, iax, rax), check_vma=False,
+        )
+        return jax.jit(fn)(k_init, ti, thr, y, consts)
+
+    return wrapped
 
 
 @functools.lru_cache(maxsize=64)
 def _advance_program(config: GPIRTConfig, count: int,
-                     mesh: Optional[Mesh] = None, axis: str = "chains"):
+                     mesh: Optional[Mesh] = None, axis: str = "chains",
+                     item_axis: Optional[str] = None,
+                     respondent_axis: Optional[str] = None):
     """Advance all chains `count` sweeps; iteration i uses fold_in(kr, i)."""
+    ax = axis if (mesh is not None and axis in mesh.shape) else None
+    iax = item_axis if mesh is not None else None
+    rax = respondent_axis if mesh is not None else None
 
     def one(s, kr, start, y, consts):
         def body(carry, j):
             carry, _ = gibbs_sweep(
                 carry, jax.random.fold_in(kr, start + j), y, consts, config,
-                iteration=start + j,
+                iteration=start + j, item_axis=iax, respondent_axis=rax,
             )
             return carry, None
 
@@ -191,8 +265,20 @@ def _advance_program(config: GPIRTConfig, count: int,
         return s
 
     vmapped = jax.vmap(one, in_axes=(0, 0, None, None, None))
-    return _maybe_shard(vmapped, mesh, axis,
-                        (P(axis), P(axis), P(), P(), P()), P(axis))
+    if mesh is None:
+        return jax.jit(vmapped)
+    y_spec, thr_spec, consts_spec = _data_specs(ax, iax, rax)
+    st_spec = lane_state_specs(ax, iax, rax)
+
+    def wrapped(state, kr, start, y, consts):
+        fn = shard_map(
+            vmapped, mesh=mesh,
+            in_specs=(st_spec, P(ax), P(), y_spec, consts_spec(consts)),
+            out_specs=st_spec, check_vma=False,
+        )
+        return jax.jit(fn)(state, kr, start, y, consts)
+
+    return wrapped
 
 
 def _record_draw(s, ll, consts, config, store_f, store_fstar):
@@ -215,7 +301,9 @@ def _record_draw(s, ll, consts, config, store_f, store_fstar):
 @functools.lru_cache(maxsize=64)
 def _records_program(config: GPIRTConfig, count: int, thin: int,
                      store_f: bool, store_fstar: bool, final: bool,
-                     mesh: Optional[Mesh] = None, axis: str = "chains"):
+                     mesh: Optional[Mesh] = None, axis: str = "chains",
+                     item_axis: Optional[str] = None,
+                     respondent_axis: Optional[str] = None):
     """Emit `count` thinned records; record r covers absolute iterations
     [start0 + r*thin, start0 + (r+1)*thin) with the draw taken after the
     first sweep of the window (run_chain's sample_step semantics).
@@ -226,21 +314,29 @@ def _records_program(config: GPIRTConfig, count: int, thin: int,
     requested iteration total — ADVICE r2). Keys are absolute-iteration
     fold_ins, so recorded draws are identical either way.
     """
+    ax = axis if (mesh is not None and axis in mesh.shape) else None
+    iax = item_axis if mesh is not None else None
+    rax = respondent_axis if mesh is not None else None
 
     def one(s, kr, start0, y, consts):
         def rec_sweep(carry, start):
             carry, ll = gibbs_sweep(
                 carry, jax.random.fold_in(kr, start), y, consts, config,
-                iteration=start,
+                iteration=start, item_axis=iax, respondent_axis=rax,
             )
             return carry, _record_draw(carry, ll, consts, config,
                                        store_f, store_fstar)
 
         def trail(carry, start):
+            # static no-op at thin=1: a zero-length scan would still trace
+            # (and compile) a second full gibbs_sweep body into the HLO
+            if thin == 1:
+                return carry
+
             def body(c, j):
                 c, _ = gibbs_sweep(
                     c, jax.random.fold_in(kr, start + j), y, consts, config,
-                    iteration=start + j,
+                    iteration=start + j, item_axis=iax, respondent_axis=rax,
                 )
                 return c, None
 
@@ -270,9 +366,64 @@ def _records_program(config: GPIRTConfig, count: int, thin: int,
         return s, outs
 
     vmapped = jax.vmap(one, in_axes=(0, 0, None, None, None))
-    return _maybe_shard(vmapped, mesh, axis,
-                        (P(axis), P(axis), P(), P(), P()),
-                        (P(axis), P(axis)))
+    if mesh is None:
+        return jax.jit(vmapped)
+    y_spec, thr_spec, consts_spec = _data_specs(ax, iax, rax)
+    st_spec = lane_state_specs(ax, iax, rax)
+    # per-lane record dict: (K, count, H, ...) — per-respondent outputs
+    # reassemble over rax, per-item outputs over iax; ll/theta replicated
+    # across the axes they don't carry
+    rec_specs = {
+        "theta": P(ax, None, None, rax),
+        "beta": P(ax, None, None, None, iax),
+        "threshold": P(ax, None, None, iax, None),
+        "ll": P(ax),
+    }
+    if store_f:
+        rec_specs["f"] = P(ax, None, None, rax, iax)
+    if store_fstar:
+        rec_specs["fstar"] = P(ax, None, None, None, iax)
+
+    def wrapped(state, kr, start0, y, consts):
+        fn = shard_map(
+            vmapped, mesh=mesh,
+            in_specs=(st_spec, P(ax), P(), y_spec, consts_spec(consts)),
+            out_specs=(st_spec, rec_specs), check_vma=False,
+        )
+        return jax.jit(fn)(state, kr, start0, y, consts)
+
+    return wrapped
+
+
+def aligned_records_chunk(pre: int, n_samples: int, thin: int, cap: int,
+                          floor: int = 50) -> Optional[int]:
+    """Largest records-per-chunk ``rc`` such that BOTH the pre-phase (burn +
+    thin alignment, ``pre`` sweeps) and the sampling phase decompose into
+    whole ``records(rc)`` windows.
+
+    When such an rc exists the chunked drivers run the pre-phase through the
+    RECORDS program (outputs discarded) instead of a separate advance
+    program: the records scan from start0 = done runs exactly the sweeps
+    [done, done + rc*thin) with the same absolute-iteration fold_in keys, so
+    the trajectory is identical and the whole run (burn + sampling) shares
+    ONE compiled sweep-bearing program. In this image a fresh process pays
+    minutes of (remote) compile per gibbs_sweep-bearing program, so merging
+    advance into records roughly halves the cold-start prologue (VERDICT r3
+    item 2).
+
+    ``floor`` bounds the window size from below (rc*thin >= floor): tiny
+    windows would trade one compile for hundreds of device-call round
+    trips. Returns None when no admissible rc exists — callers fall back to
+    the separate advance program (old behavior).
+    """
+    if n_samples <= 0:
+        return None
+    rc_cap = max(cap // thin, 1)
+    lo = max(1, -(-floor // thin))  # ceil(floor / thin)
+    for rc in range(min(rc_cap, n_samples), lo - 1, -1):
+        if n_samples % rc == 0 and pre % (rc * thin) == 0:
+            return rc
+    return None
 
 
 def run_chains_chunked(
@@ -293,6 +444,8 @@ def run_chains_chunked(
     initial_states=None,
     mesh: Optional[Mesh] = None,
     axis: str = "chains",
+    item_axis: Optional[str] = None,
+    respondent_axis: Optional[str] = None,
 ) -> Dict[str, jnp.ndarray]:
     """``run_chains`` split into bounded device executions.
 
@@ -325,28 +478,46 @@ def run_chains_chunked(
     ``mesh`` shards the chain axis over devices (shard_map, like
     run_chains); chunk boundaries stay host-side, so the chunked driver's
     bounded-execution and progress/interrupt semantics carry over to the
-    sharded case unchanged.
+    sharded case unchanged. ``item_axis`` / ``respondent_axis`` additionally
+    shard the model dimensions over the mesh (parallel/items.py /
+    parallel/respondents.py semantics), up to a 3-D chains x items x
+    respondents mesh.
     """
     progs = ChunkedPrograms(
         keys, y, thresholds_init, consts, config,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
-        mesh=mesh, axis=axis,
+        mesh=mesh, axis=axis, item_axis=item_axis,
+        respondent_axis=respondent_axis,
     )
     state = initial_states if initial_states is not None else progs.init(theta_init)
     total = progs.total
+    pre = progs.sched.pre_iterations
 
-    # burn/alignment phase
+    # burn/alignment phase. Aligned mode: run it through the records program
+    # (outputs discarded; identical absolute-iteration key schedule) so the
+    # whole run compiles ONE sweep-bearing program — see
+    # aligned_records_chunk. Fallback: the separate advance program.
+    rc = aligned_records_chunk(pre, progs.sched.n_samples, thin,
+                               chunk_iterations)
     done = 0
-    while done < progs.sched.pre_iterations:
-        c = min(chunk_iterations, progs.sched.pre_iterations - done)
-        state = progs.advance(state, done, c)
-        done += c
-        if on_progress is not None:
-            on_progress(done, total)
+    if rc is not None:
+        while done < pre:
+            state, _ = progs.records(state, (done - pre) // thin, rc)
+            done += rc * thin
+            if on_progress is not None:
+                on_progress(done, total)
+        recs_per_chunk = rc
+    else:
+        while done < pre:
+            c = min(chunk_iterations, pre - done)
+            state = progs.advance(state, done, c)
+            done += c
+            if on_progress is not None:
+                on_progress(done, total)
+        recs_per_chunk = max(chunk_iterations // thin, 1)
 
     # sampling phase, in records
-    recs_per_chunk = max(chunk_iterations // thin, 1)
     acc: Dict[str, list] = {}
     rec = 0
     while rec < progs.sched.n_samples:
@@ -357,7 +528,7 @@ def run_chains_chunked(
             acc.setdefault(name, []).append(arr)
         rec += c
         if on_progress is not None:
-            on_progress(min(progs.sched.pre_iterations + rec * thin, total), total)
+            on_progress(min(pre + rec * thin, total), total)
 
     if not acc:
         return {}
@@ -380,17 +551,46 @@ class ChunkedPrograms:
     def __init__(self, keys, y, thresholds_init, consts, config, *,
                  sample_iterations, burn_iterations, thin,
                  store_f=False, store_fstar=False,
-                 mesh: Optional[Mesh] = None, axis: str = "chains"):
+                 mesh: Optional[Mesh] = None, axis: str = "chains",
+                 item_axis: Optional[str] = None,
+                 respondent_axis: Optional[str] = None):
         from gpirt_tpu.models.sampler import sample_schedule
 
+        mesh = canonical_mesh(mesh)
         if mesh is not None:
-            if axis not in mesh.shape:
-                raise ValueError(f"mesh has no axis named {axis!r}")
-            if keys.shape[0] % mesh.shape[axis] != 0:
+            # ADVICE r3: a mesh axis that is neither the chain axis nor a
+            # declared model axis would silently replicate ALL work across
+            # it (check_vma=False suppresses the usual error) — reject it.
+            named = {axis, item_axis, respondent_axis} - {None}
+            extra = [a for a in mesh.axis_names if a not in named]
+            if extra:
+                raise ValueError(
+                    f"mesh axes {extra} are neither the chain axis "
+                    f"({axis!r}) nor a declared item/respondent axis; "
+                    "work would silently replicate across them"
+                )
+            if axis in mesh.shape and keys.shape[0] % mesh.shape[axis] != 0:
                 raise ValueError(
                     f"{keys.shape[0]} chains do not divide evenly over "
                     f"{mesh.shape[axis]} devices on mesh axis {axis!r}"
                 )
+            if item_axis is not None or respondent_axis is not None:
+                if config.resolved_f_method != "conjugate":
+                    raise NotImplementedError(
+                        "item/respondent sharding needs f_method='conjugate'"
+                    )
+                H, n, m = y.shape
+                if item_axis is not None and m % mesh.shape[item_axis] != 0:
+                    raise ValueError(
+                        f"m={m} does not divide over "
+                        f"{mesh.shape[item_axis]} item shards"
+                    )
+                if (respondent_axis is not None
+                        and n % mesh.shape[respondent_axis] != 0):
+                    raise ValueError(
+                        f"n={n} does not divide over "
+                        f"{mesh.shape[respondent_axis]} respondent shards"
+                    )
         self.y = y
         self.consts = consts
         self.config = config
@@ -399,6 +599,8 @@ class ChunkedPrograms:
         self.store_fstar = store_fstar
         self.mesh = mesh
         self.axis = axis
+        self.item_axis = item_axis if mesh is not None else None
+        self.respondent_axis = respondent_axis if mesh is not None else None
         self.thresholds_init = jnp.asarray(thresholds_init, config.jdtype)
         self.sched = sample_schedule(sample_iterations, burn_iterations, thin)
         self.total = sample_iterations + burn_iterations
@@ -409,13 +611,15 @@ class ChunkedPrograms:
     def init(self, theta_init):
         theta_init = jnp.asarray(theta_init, self.config.jdtype)
         fn = _init_program(self.config, theta_init.ndim == 3,
-                           self.mesh, self.axis)
+                           self.mesh, self.axis,
+                           self.item_axis, self.respondent_axis)
         return fn(self.k_init, theta_init, self.thresholds_init, self.y,
                   self.consts)
 
     def advance(self, state, start, count):
         """Advance all chains `count` sweeps from absolute iteration `start`."""
-        fn = _advance_program(self.config, count, self.mesh, self.axis)
+        fn = _advance_program(self.config, count, self.mesh, self.axis,
+                              self.item_axis, self.respondent_axis)
         return fn(state, self.k_run, start, self.y, self.consts)
 
     def records(self, state, start_rec, count, final=False):
@@ -429,6 +633,7 @@ class ChunkedPrograms:
         fn = _records_program(
             self.config, count, self.thin, self.store_f, self.store_fstar,
             bool(final) and self.thin > 1, self.mesh, self.axis,
+            self.item_axis, self.respondent_axis,
         )
         start0 = self.sched.pre_iterations + start_rec * self.thin
         return fn(state, self.k_run, start0, self.y, self.consts)

@@ -329,6 +329,9 @@ def anneal_init(
     """
     if config.resolved_f_method != "conjugate":
         raise NotImplementedError("anneal_init needs f_method='conjugate'")
+    from gpirt_tpu.parallel.chains import canonical_mesh
+
+    mesh = canonical_mesh(mesh)  # ADVICE r3: stable lru_cache keys
     K = int(keys.shape[0])
     for name, ax_name in (("item_axis", item_axis),
                           ("respondent_axis", respondent_axis)):

@@ -305,6 +305,11 @@ def _t_records_program(config: GPIRTConfig, count: int, thin: int,
             return (s, acc), out
 
         def trail(carry, start):
+            # static no-op at thin=1: a zero-length scan would still trace
+            # (and compile) a second full tempered-sweep body into the HLO
+            if thin == 1:
+                return carry
+
             def body(c, j):
                 s2, acc2 = c
                 s2, _, a2 = _tempered_sweep(
@@ -376,6 +381,9 @@ class TemperedPrograms:
                  thin, store_f=False, store_fstar=False, swap_every=1,
                  mesh=None, axis="chains", item_axis=None,
                  respondent_axis=None):
+        from gpirt_tpu.parallel.chains import canonical_mesh
+
+        mesh = canonical_mesh(mesh)  # ADVICE r3: stable lru_cache keys
         if config.resolved_f_method != "conjugate":
             raise NotImplementedError(
                 "parallel tempering needs f_method='conjugate'"
@@ -528,18 +536,36 @@ def run_tempered_chains(
     total = progs.total
     acc_tot = np.zeros(progs.G * progs.L, np.int64)
     swaps = 0
+    pre = progs.sched.pre_iterations
 
+    # aligned mode (parallel.chains.aligned_records_chunk): the burn phase
+    # rides the records program — identical sweep/swap schedule, outputs
+    # discarded — so the whole tempered run shares one compiled
+    # sweep-bearing program.
+    from gpirt_tpu.parallel.chains import aligned_records_chunk
+
+    rc = aligned_records_chunk(pre, progs.sched.n_samples, thin,
+                               chunk_iterations)
     done = 0
-    while done < progs.sched.pre_iterations:
-        c = min(chunk_iterations, progs.sched.pre_iterations - done)
-        states, acc = progs.advance(states, done, c)
-        acc_tot += np.asarray(acc)
-        swaps += c
-        done += c
-        if on_progress is not None:
-            on_progress(done, total)
-
-    recs_per_chunk = max(chunk_iterations // thin, 1)
+    if rc is not None:
+        while done < pre:
+            states, acc, _ = progs.records(states, (done - pre) // thin, rc)
+            acc_tot += np.asarray(acc)
+            swaps += rc * thin
+            done += rc * thin
+            if on_progress is not None:
+                on_progress(done, total)
+        recs_per_chunk = rc
+    else:
+        while done < pre:
+            c = min(chunk_iterations, pre - done)
+            states, acc = progs.advance(states, done, c)
+            acc_tot += np.asarray(acc)
+            swaps += c
+            done += c
+            if on_progress is not None:
+                on_progress(done, total)
+        recs_per_chunk = max(chunk_iterations // thin, 1)
     acc_draws: Dict[str, list] = {}
     rec = 0
     while rec < progs.sched.n_samples:

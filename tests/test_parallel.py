@@ -145,6 +145,70 @@ class TestChunkedChains:
                                mesh=mesh)
 
 
+class TestAlignedChunking:
+    """aligned_records_chunk: burn rides the records program (one compiled
+    sweep program for the whole run) with an identical key schedule."""
+
+    def test_helper_picks_common_divisor(self):
+        from gpirt_tpu.parallel.chains import aligned_records_chunk
+
+        # bench shape: burn 100, 500 records, thin 1, cap 250 -> rc=100
+        assert aligned_records_chunk(100, 500, 1, 250) == 100
+        # no burn: any rc dividing samples, largest <= cap
+        assert aligned_records_chunk(0, 500, 1, 250) == 250
+        # thin 2: windows are rc*2 sweeps
+        rc = aligned_records_chunk(100, 50, 2, 100)
+        assert rc is not None and 100 % (rc * 2) == 0 and 50 % rc == 0
+        # tiny runs fall below the floor -> fallback
+        assert aligned_records_chunk(2, 7, 2, 4) is None
+        # coprime schedules -> fallback
+        assert aligned_records_chunk(97, 499, 1, 250) is None
+
+    def test_aligned_matches_unchunked(self):
+        from gpirt_tpu.parallel import run_chains_chunked
+
+        y, ti, thr, consts, config = _setup(n=8, m=4)
+        keys = chain_keys(2, 2)
+        kw = dict(sample_iterations=100, burn_iterations=50, thin=1)
+        a = run_chains(keys, jnp.asarray(y), ti, thr, consts, config, **kw)
+        # chunk 50 -> rc=50: burn = 1 records window, sampling = 2
+        b = run_chains_chunked(keys, jnp.asarray(y), ti, thr, consts, config,
+                               chunk_iterations=50, **kw)
+        np.testing.assert_array_equal(np.asarray(a["theta"]), b["theta"])
+        np.testing.assert_allclose(np.asarray(a["ll"]), b["ll"], rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(a["beta"]), b["beta"],
+                                   rtol=1e-12)
+
+    def test_aligned_checkpoint_resume_mixed_chunks(self, tmp_path):
+        """Interrupt under one aligned chunking, resume under another: the
+        absolute-iteration key schedule makes the draws identical."""
+        import os
+        from gpirt_tpu.utils.checkpoint import (
+            CheckpointManager, run_chains_checkpointed,
+        )
+
+        y, ti, thr, consts, config = _setup(n=8, m=4)
+        keys = chain_keys(3, 2)
+        kw = dict(sample_iterations=50, burn_iterations=50, thin=1)
+        full = run_chains_checkpointed(
+            keys, jnp.asarray(y), ti, thr, consts, config,
+            manager=CheckpointManager(os.path.join(tmp_path, "full.npz")),
+            checkpoint_every=50, **kw,
+        )
+        mgr = CheckpointManager(os.path.join(tmp_path, "ck.npz"))
+        run_chains_checkpointed(
+            keys, jnp.asarray(y), ti, thr, consts, config, manager=mgr,
+            checkpoint_every=50,
+            sample_iterations=25, burn_iterations=50, thin=1,
+        )
+        resumed = run_chains_checkpointed(
+            keys, jnp.asarray(y), ti, thr, consts, config, manager=mgr,
+            checkpoint_every=50, **kw,
+        )
+        np.testing.assert_array_equal(full["theta"], resumed["theta"])
+        np.testing.assert_array_equal(full["ll"], resumed["ll"])
+
+
 class TestRicherDiagnostics:
     def test_rank_rhat_iid_near_one(self):
         from gpirt_tpu.utils.diagnostics import rank_normalized_rhat
