@@ -220,33 +220,17 @@ def gpirt_mcmc(
             "smc_steps and n_temps > 1 are mutually exclusive (SMC annealing "
             "and fixed-ladder tempering are alternative basin strategies)"
         )
-    if checkpoint_path is not None and n_temps > 1:
+    if item_axis is not None and (mesh is None or item_axis not in mesh.shape):
         raise ValueError(
-            "checkpoint_path does not support tempered ensembles (n_temps > "
-            "1) yet; run tempering without checkpointing"
+            f"item_axis={item_axis!r} needs a mesh with that axis name "
+            "(e.g. parallel.make_item_mesh)"
         )
-    if item_axis is not None:
-        if mesh is None or item_axis not in mesh.shape:
-            raise ValueError(
-                f"item_axis={item_axis!r} needs a mesh with that axis name "
-                "(e.g. parallel.make_item_mesh)"
-            )
-        if checkpoint_path is not None:
-            raise ValueError(
-                "item_axis supports the plain, SMC-initialized, and "
-                "tempered paths (no checkpointing yet)"
-            )
-    if respondent_axis is not None:
-        if mesh is None or respondent_axis not in mesh.shape:
-            raise ValueError(
-                f"respondent_axis={respondent_axis!r} needs a mesh with that "
-                "axis name (e.g. parallel.make_respondent_mesh)"
-            )
-        if checkpoint_path is not None:
-            raise ValueError(
-                "respondent_axis supports the plain, SMC-initialized, and "
-                "tempered paths (no checkpointing yet)"
-            )
+    if respondent_axis is not None and (
+            mesh is None or respondent_axis not in mesh.shape):
+        raise ValueError(
+            f"respondent_axis={respondent_axis!r} needs a mesh with that "
+            "axis name (e.g. parallel.make_respondent_mesh)"
+        )
 
     if vote_codes is not None:
         stripped = _strip_h(data)
@@ -370,6 +354,35 @@ def gpirt_mcmc(
 
         mgr = CheckpointManager(f"{checkpoint_path}.npz")
         keys = chain_keys(SEED, CHAIN, impl=config.resolved_prng_impl)
+
+        if n_temps > 1:
+            # checkpointing x tempering (VERDICT r3 composition item): the
+            # full tempered ensemble persists and resumes bitwise.
+            from gpirt_tpu.utils.checkpoint import (
+                run_tempered_chains_checkpointed,
+            )
+
+            draws = run_tempered_chains_checkpointed(
+                keys, jnp.asarray(y), th_inits, thresholds_init,
+                consts, config,
+                sample_iterations=sample_iterations,
+                burn_iterations=burn_iterations,
+                thin=THIN, n_temps=n_temps, max_temp=max_temp,
+                swap_every=swap_every, store_f=store_f,
+                store_fstar=store_fstar,
+                manager=mgr, checkpoint_every=checkpoint_every,
+                on_progress=on_progress, mesh=mesh, item_axis=item_axis,
+                respondent_axis=respondent_axis,
+            )
+            swap_rate = draws.pop("swap_rate")
+            out = [
+                _to_reference_layout({k: v[c] for k, v in draws.items()})
+                for c in range(CHAIN)
+            ]
+            for d in out:
+                d["swap_rate"] = swap_rate
+            return _with_labels(out)
+
         initial_states = None
         if smc_steps > 0 and not mgr.exists():
             # SMC annealed init composes with checkpointing: the annealed
@@ -380,6 +393,7 @@ def gpirt_mcmc(
             initial_states, info = anneal_init(
                 keys, jnp.asarray(y), th_inits, thresholds_init, consts,
                 config, n_steps=smc_steps, max_temp=smc_max_temp, mesh=mesh,
+                item_axis=item_axis, respondent_axis=respondent_axis,
             )
             if verbose:
                 print(f"[gpirt] SMC init: {smc_steps} steps from "
@@ -394,7 +408,7 @@ def gpirt_mcmc(
             thin=THIN, store_f=store_f, store_fstar=store_fstar,
             manager=mgr, checkpoint_every=checkpoint_every,
             on_progress=on_progress, initial_states=initial_states,
-            mesh=mesh,
+            mesh=mesh, item_axis=item_axis, respondent_axis=respondent_axis,
         )
         return _with_labels([
             _to_reference_layout({k: v[c] for k, v in draws.items()})

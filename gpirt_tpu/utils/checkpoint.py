@@ -11,6 +11,8 @@ uninterrupted run (tested).
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import json
 import os
 import tempfile
@@ -23,7 +25,9 @@ import numpy as np
 from gpirt_tpu.models.config import GPIRTConfig, GPIRTConstants
 from gpirt_tpu.models.gibbs import GPIRTState
 
-__all__ = ["CheckpointManager", "run_chain_checkpointed", "run_chains_checkpointed"]
+__all__ = ["CheckpointManager", "run_chain_checkpointed",
+           "run_chains_checkpointed", "run_tempered_chains_checkpointed",
+           "config_digest"]
 
 _STATE_FIELDS = GPIRTState._fields
 
@@ -31,8 +35,53 @@ _STATE_FIELDS = GPIRTState._fields
 # chains with pre_done/recs_done meta (the round-1 format was per-chain
 # <path>.chain<k>.npz files with an "iteration" counter; loading one of
 # those — or any unrelated stale .npz — now raises a clear error instead of
-# a bare KeyError or a silent restart).
-CHECKPOINT_FORMAT_VERSION = 2
+# a bare KeyError or a silent restart). v3 adds the run-spec fields
+# (thin/burn/samples/chains/stores/config digest) that resume validates —
+# ADVICE r3: a v2 resume under a changed schedule silently produced
+# wrong-but-plausible draws.
+CHECKPOINT_FORMAT_VERSION = 3
+
+
+def config_digest(config: GPIRTConfig) -> str:
+    """Deterministic cross-process digest of every config field.
+
+    ``hash(config)`` is salted per process (string fields), so the
+    checkpoint stores a sha256 of the sorted field dict instead.
+    """
+    fields = {k: repr(v) for k, v in dataclasses.asdict(config).items()}
+    blob = json.dumps(fields, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+# meta keys that must match between the checkpoint and the resuming run —
+# a mismatch means the deterministic key/record schedule diverges and the
+# resumed draws would be silently wrong (ADVICE r3). sample_iterations is
+# deliberately NOT validated: keys/records are absolute-iteration-indexed,
+# so extending (or shrinking) the sampling phase on resume is well-defined —
+# that is how an interrupted run continues to the full count.
+_RUN_SPEC_KEYS = (
+    "thin", "burn_iterations", "n_chains",
+    "store_f", "store_fstar", "config_digest",
+)
+
+
+def _check_run_spec(meta: dict, spec: dict, path: str) -> None:
+    bad = {
+        k: (meta.get(k), spec[k])
+        for k in spec
+        if meta.get(k) != spec[k]
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: checkpoint={ck!r} vs requested={rq!r}"
+            for k, (ck, rq) in bad.items()
+        )
+        raise ValueError(
+            f"checkpoint {path} was written by a run with different "
+            f"parameters ({detail}); resuming would silently continue a "
+            "mismatched schedule. Delete the checkpoint to start fresh, or "
+            "resume with the original parameters."
+        )
 
 
 class CheckpointManager:
@@ -64,7 +113,14 @@ class CheckpointManager:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
-    def load(self) -> Optional[Tuple[GPIRTState, dict, Dict[str, np.ndarray]]]:
+    def load(self, run_spec: Optional[dict] = None,
+             ) -> Optional[Tuple[GPIRTState, dict, Dict[str, np.ndarray]]]:
+        """Load the checkpoint, or None if the file does not exist.
+
+        ``run_spec`` (the resuming run's schedule/config identity dict) is
+        validated against the stored meta; a mismatch raises instead of
+        silently continuing a different run's schedule (ADVICE r3).
+        """
         if not self.exists():
             return None
         with np.load(self.path) as z:
@@ -82,6 +138,8 @@ class CheckpointManager:
                     "the stale checkpoint (or finish the run with the build "
                     "that wrote it)."
                 )
+            if run_spec is not None:
+                _check_run_spec(meta, run_spec, self.path)
             state = GPIRTState(
                 **{k: jnp.asarray(z[f"state_{k}"]) for k in _STATE_FIELDS}
             )
@@ -110,6 +168,8 @@ def run_chains_checkpointed(
     initial_states=None,
     mesh=None,
     axis: str = "chains",
+    item_axis: Optional[str] = None,
+    respondent_axis: Optional[str] = None,
 ) -> Dict[str, np.ndarray]:
     """Resumable multi-chain run: ALL chains advance in one vmapped device
     program per chunk, checkpointed together (round 1 looped chains
@@ -123,10 +183,13 @@ def run_chains_checkpointed(
     time — instead of round 1's every-chunk full-state shipping.
 
     ``mesh`` shards the chain axis over devices (the ChunkedPrograms
-    shard_map path). Checkpoints are written as host numpy — device-layout
-    free — so a run checkpointed on one mesh can resume on another (or on
-    none): resume feeds the saved state back through the sharded program,
-    which reshards it per the in_specs.
+    shard_map path); ``item_axis`` / ``respondent_axis`` additionally shard
+    the model dimensions (up to a 3-D chains x items x respondents mesh).
+    Checkpoints are written as host numpy — device-layout free — so a run
+    checkpointed on one mesh can resume on another (or on none): resume
+    feeds the saved state back through the sharded program, which reshards
+    it per the in_specs. Resume validates the stored run spec
+    (thin/burn/samples/chains/stores/config) and refuses a mismatch.
 
     Returns host numpy draws with a leading chains axis.
     """
@@ -136,10 +199,17 @@ def run_chains_checkpointed(
         keys, y, thresholds_init, consts, config,
         sample_iterations=sample_iterations, burn_iterations=burn_iterations,
         thin=thin, store_f=store_f, store_fstar=store_fstar,
-        mesh=mesh, axis=axis,
+        mesh=mesh, axis=axis, item_axis=item_axis,
+        respondent_axis=respondent_axis,
     )
+    run_spec = {
+        "thin": thin, "burn_iterations": burn_iterations,
+        "n_chains": int(keys.shape[0]),
+        "store_f": bool(store_f), "store_fstar": bool(store_fstar),
+        "config_digest": config_digest(config),
+    }
 
-    resumed = manager.load()
+    resumed = manager.load(run_spec)
     if resumed is not None:
         state, meta, stored = resumed
         pre_done = int(meta["pre_done"])
@@ -154,20 +224,41 @@ def run_chains_checkpointed(
     def save():
         manager.save(
             state,
-            {"pre_done": pre_done, "recs_done": recs_done,
-             "total": progs.total},
+            dict(run_spec, pre_done=pre_done, recs_done=recs_done,
+                 sample_iterations=sample_iterations, total=progs.total),
             {name: np.concatenate(v, axis=1) for name, v in acc.items() if v},
         )
 
-    while pre_done < progs.sched.pre_iterations:
-        c = min(checkpoint_every, progs.sched.pre_iterations - pre_done)
-        state = progs.advance(state, pre_done, c)
-        pre_done += c
-        save()
-        if on_progress is not None:
-            on_progress(pre_done, progs.total)
+    # Aligned mode (see parallel.chains.aligned_records_chunk): when the
+    # REMAINING pre-phase and sampling phase decompose into whole
+    # records(rc) windows, the pre-phase runs through the records program
+    # (outputs discarded, identical key schedule) and the whole run shares
+    # one compiled sweep-bearing program.
+    from gpirt_tpu.parallel.chains import aligned_records_chunk
 
-    recs_per_chunk = max(checkpoint_every // thin, 1)
+    pre = progs.sched.pre_iterations
+    rc = aligned_records_chunk(
+        pre - pre_done, progs.sched.n_samples - recs_done, thin,
+        checkpoint_every,
+    )
+    if rc is not None:
+        while pre_done < pre:
+            state, _ = progs.records(state, (pre_done - pre) // thin, rc)
+            pre_done += rc * thin
+            save()
+            if on_progress is not None:
+                on_progress(pre_done, progs.total)
+        recs_per_chunk = rc
+    else:
+        while pre_done < pre:
+            c = min(checkpoint_every, pre - pre_done)
+            state = progs.advance(state, pre_done, c)
+            pre_done += c
+            save()
+            if on_progress is not None:
+                on_progress(pre_done, progs.total)
+        recs_per_chunk = max(checkpoint_every // thin, 1)
+
     while recs_done < progs.sched.n_samples:
         c = min(recs_per_chunk, progs.sched.n_samples - recs_done)
         final = recs_done + c == progs.sched.n_samples
@@ -184,6 +275,145 @@ def run_chains_checkpointed(
             )
 
     return {name: np.concatenate(v, axis=1) for name, v in acc.items() if v}
+
+
+def run_tempered_chains_checkpointed(
+    keys: jax.Array,
+    y: jnp.ndarray,
+    theta_init,
+    thresholds_init,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+    *,
+    sample_iterations: int,
+    burn_iterations: int,
+    thin: int = 1,
+    n_temps: int = 4,
+    max_temp: float = 32.0,
+    swap_every: int = 1,
+    store_f: bool = False,
+    store_fstar: bool = False,
+    manager: CheckpointManager,
+    checkpoint_every: int = 200,
+    on_progress=None,
+    mesh=None,
+    axis: str = "chains",
+    item_axis: Optional[str] = None,
+    respondent_axis: Optional[str] = None,
+) -> Dict[str, np.ndarray]:
+    """Resumable parallel-tempering run (VERDICT r3 composition item).
+
+    ``run_tempered_chains`` (parallel/tempering.py) with the checkpointed
+    drivers' atomic-save/resume semantics: the full G*L-lane ensemble state,
+    the per-rung swap-acceptance accumulators, and the accumulated cold-lane
+    draws persist together every ``checkpoint_every`` iterations. Key and
+    swap schedules are absolute-iteration fold_ins, so interrupt + resume
+    is bitwise an uninterrupted run (same guarantee as
+    run_chains_checkpointed; tested in tests/test_checkpoint.py).
+
+    Returns run_tempered_chains' output: cold-chain draws with a leading
+    (G,) chains axis plus "swap_rate" (L-1,).
+    """
+    from gpirt_tpu.parallel.tempering import TemperedPrograms
+
+    progs = TemperedPrograms(
+        keys, y, thresholds_init, consts, config,
+        n_temps=n_temps, max_temp=max_temp, swap_every=swap_every,
+        sample_iterations=sample_iterations, burn_iterations=burn_iterations,
+        thin=thin, store_f=store_f, store_fstar=store_fstar,
+        mesh=mesh, axis=axis, item_axis=item_axis,
+        respondent_axis=respondent_axis,
+    )
+    run_spec = {
+        "thin": thin, "burn_iterations": burn_iterations,
+        "n_chains": int(keys.shape[0]),
+        "store_f": bool(store_f), "store_fstar": bool(store_fstar),
+        "config_digest": config_digest(config),
+        "n_temps": int(n_temps), "max_temp": float(max_temp),
+        "swap_every": int(swap_every),
+    }
+
+    resumed = manager.load(run_spec)
+    if resumed is not None:
+        states, meta, stored = resumed
+        pre_done = int(meta["pre_done"])
+        recs_done = int(meta["recs_done"])
+        acc_tot = np.asarray(meta["swap_acc"], np.int64)
+        swaps = int(meta["swaps"])
+        acc = {k: [v] for k, v in stored.items()}
+    else:
+        states = progs.init(theta_init)
+        pre_done, recs_done = 0, 0
+        acc_tot = np.zeros(progs.G * progs.L, np.int64)
+        swaps = 0
+        acc = {}
+
+    def save():
+        manager.save(
+            states,
+            dict(run_spec, pre_done=pre_done, recs_done=recs_done,
+                 sample_iterations=sample_iterations, total=progs.total,
+                 swap_acc=acc_tot.tolist(), swaps=swaps),
+            {name: np.concatenate(v, axis=1) for name, v in acc.items() if v},
+        )
+
+    from gpirt_tpu.parallel.chains import aligned_records_chunk
+
+    pre = progs.sched.pre_iterations
+    rc = aligned_records_chunk(
+        pre - pre_done, progs.sched.n_samples - recs_done, thin,
+        checkpoint_every,
+    )
+    if rc is not None:
+        while pre_done < pre:
+            states, acc_chunk, _ = progs.records(
+                states, (pre_done - pre) // thin, rc)
+            acc_tot = acc_tot + np.asarray(acc_chunk)
+            swaps += rc * thin
+            pre_done += rc * thin
+            save()
+            if on_progress is not None:
+                on_progress(pre_done, progs.total)
+        recs_per_chunk = rc
+    else:
+        while pre_done < pre:
+            c = min(checkpoint_every, pre - pre_done)
+            states, acc_chunk = progs.advance(states, pre_done, c)
+            acc_tot = acc_tot + np.asarray(acc_chunk)
+            swaps += c
+            pre_done += c
+            save()
+            if on_progress is not None:
+                on_progress(pre_done, progs.total)
+        recs_per_chunk = max(checkpoint_every // thin, 1)
+
+    while recs_done < progs.sched.n_samples:
+        c = min(recs_per_chunk, progs.sched.n_samples - recs_done)
+        final = recs_done + c == progs.sched.n_samples
+        states, acc_chunk, outs = progs.records(states, recs_done, c,
+                                                final=final)
+        acc_tot = acc_tot + np.asarray(acc_chunk)
+        swaps += c * thin - (thin - 1 if final and thin > 1 else 0)
+        outs = jax.tree_util.tree_map(np.asarray, outs)
+        for name, arr in outs.items():
+            acc.setdefault(name, []).append(arr)
+        recs_done += c
+        save()
+        if on_progress is not None:
+            on_progress(
+                min(progs.sched.pre_iterations + recs_done * thin, progs.total),
+                progs.total,
+            )
+
+    out = {name: np.concatenate(v, axis=1) for name, v in acc.items() if v}
+    # per-rung acceptance, exactly run_tempered_chains' accounting: accepted
+    # (l, l+1) swaps count at lane l; rung l is attempted on phases of
+    # parity l % 2, i.e. half the phases.
+    per_lane = acc_tot.reshape(progs.G, progs.L).mean(axis=0)
+    n_phases = max(swaps // max(swap_every, 1), 1)
+    rung = per_lane[: max(progs.L - 1, 1)] / max(n_phases / 2.0, 1.0)
+    out["swap_rate"] = np.clip(rung, 0.0, 1.0)
+    return out
 
 
 def run_chain_checkpointed(

@@ -270,9 +270,17 @@ class TestOptionValidation:
         with pytest.raises(ValueError, match="mutually exclusive"):
             self._call(n_temps=4, smc_steps=8)
 
-    def test_checkpoint_plus_tempering_raises(self, tmp_path):
-        with pytest.raises(ValueError, match="tempered"):
-            self._call(checkpoint_path=str(tmp_path / "ck"), n_temps=4)
+    def test_checkpoint_plus_tempering_composes(self, tmp_path):
+        """checkpoint x tempering (VERDICT r3 composition item): runs, and
+        a rerun against the finished checkpoint resumes to identical
+        draws. The full round-trip determinism proof is
+        tests/test_checkpoint.py::TestCheckpointTempered."""
+        kw = dict(checkpoint_path=str(tmp_path / "ck"), checkpoint_every=2,
+                  n_temps=2, max_temp=4.0, f_method="conjugate")
+        a = self._call(**kw)
+        b = self._call(**kw)
+        np.testing.assert_array_equal(a[0]["theta"], b[0]["theta"])
+        assert "swap_rate" in a[0]
 
     def test_mesh_plus_checkpoint_composes(self, tmp_path):
         """A chain mesh now composes with checkpointing: the chunked
@@ -294,12 +302,18 @@ class TestOptionValidation:
         np.testing.assert_allclose(a[0]["theta"], c[0]["theta"],
                                    rtol=1e-8, atol=1e-8)
 
-    def test_model_axis_plus_checkpoint_raises(self):
+    def test_model_axis_plus_checkpoint_composes(self, tmp_path):
+        """checkpoint x item sharding (VERDICT r3 composition item): the
+        chunked checkpointed driver shard_maps over the 2-D mesh. Full
+        determinism proof: tests/test_checkpoint.py::TestCheckpointSharded."""
         mesh = jax.sharding.Mesh(
-            np.array(jax.devices()).reshape(1, 8), ("chains", "items"))
-        with pytest.raises(ValueError, match="checkpoint"):
-            self._call(mesh=mesh, item_axis="items",
-                       checkpoint_path="/tmp/x")
+            np.array(jax.devices()).reshape(2, 4), ("chains", "items"))
+        kw = dict(mesh=mesh, item_axis="items", CHAIN=2,
+                  f_method="conjugate", checkpoint_every=2,
+                  checkpoint_path=str(tmp_path / "ck"))
+        a = self._call(**kw)
+        b = self._call(**kw)
+        np.testing.assert_array_equal(a[0]["theta"], b[0]["theta"])
 
     def test_mesh_plus_smc_runs(self):
         # SMC anneals over the mesh, then run_chains(mesh=...) continues

@@ -161,6 +161,30 @@ class TestItemShardedDriver:
         assert draws["fstar"].shape == (2, 5, H, config.grid_size, m)
         assert np.all(np.isfinite(np.asarray(draws["fstar"])))
 
+    def test_chunked_driver_matches_monolithic(self):
+        """run_chains_chunked(mesh, item_axis=...) — the bounded-execution
+        production path — reproduces the monolithic item-sharded driver
+        (identical absolute-iteration key schedule; f64 associativity
+        tolerance across the two compilations)."""
+        from gpirt_tpu.parallel.chains import run_chains_chunked
+
+        _, y, ti, thr, consts, config = _setup(n=8, m=8)
+        import dataclasses
+        config = dataclasses.replace(config, f_method="conjugate")
+        mesh = make_item_mesh(4, n_chain_shards=2)
+        keys = chain_keys(3, 4)
+        kw = dict(sample_iterations=5, burn_iterations=2, thin=1)
+        a = run_chains_itemsharded(keys, y, ti, thr, consts, config,
+                                   mesh=mesh, **kw)
+        b = run_chains_chunked(keys, y, ti, thr, consts, config,
+                               mesh=mesh, item_axis="items",
+                               chunk_iterations=4, **kw)
+        np.testing.assert_allclose(np.asarray(a["theta"]),
+                                   np.asarray(b["theta"]),
+                                   rtol=1e-8, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a["ll"]), np.asarray(b["ll"]),
+                                   rtol=1e-8)
+
     def test_uneven_items_raise(self):
         _, y, ti, thr, consts, config = _setup(n=12, m=6)  # 6 % 8 != 0
         mesh = Mesh(np.asarray(jax.devices()), ("items",))
