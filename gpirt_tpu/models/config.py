@@ -74,6 +74,15 @@ class GPIRTConfig:
     # (~12-17) while the mean lane needs ~3. Measured +7% sweep rate at 64
     # senate chains with the identical kernel; default ON (False gives the
     # plain full-batch loop).
+    threshold_backend: str = "auto"  # backend for the binary y-marginal ESS
+    # cutpoint update: "xla" (fused erf->log->masked-sum passes per shrink
+    # round, + the two-phase compaction) | "pallas"
+    # (ops/pallas_threshold.py: the ENTIRE shrink loop in one VMEM-resident
+    # kernel — g/sgn/obs stream from HBM once instead of once per round,
+    # and each 128-lane tile exits at its own max round) | "auto" (the
+    # measured on-chip winner; see resolved_threshold_backend). Applies
+    # only to the binary (C == 2), unsharded, untempered,
+    # non-constant-IRF "ess" path; every other path uses XLA.
     threshold_shift: bool = False  # extra exact Gibbs draw along the
     # (all cutpoints of item j, beta0_j) likelihood-null shift direction
     # each sweep (gibbs.draw_threshold_shift): the ordinal likelihood is
@@ -168,6 +177,11 @@ class GPIRTConfig:
                 "threshold_method='newton' is binary-only (C == 2); "
                 f"got C = {self.C}"
             )
+        if self.threshold_backend not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                "threshold_backend must be 'auto', 'xla' or 'pallas', "
+                f"got {self.threshold_backend!r}"
+            )
         if self.threshold_ess_every < 1:
             raise ValueError(
                 "threshold_ess_every must be >= 1, "
@@ -250,6 +264,23 @@ class GPIRTConfig:
         if self.threshold_method == "auto":
             return "ess"
         return self.threshold_method
+
+    @property
+    def resolved_threshold_backend(self) -> str:
+        """"auto" -> "xla": the measured on-chip verdict (VERDICT r3 item 3).
+
+        The Pallas kernel is numerically exact (compiled == interpret,
+        bitwise) and statistically equivalent (posterior z = -0.06), but
+        the 64-chain senate sweep measured 5.36 ms under it vs 5.12 ms
+        under the XLA two-phase path: the block is transcendental-bound,
+        so XLA's active-lane compaction beats the kernel's one-pass HBM
+        saving (scripts/ab_pallas_threshold.py; RESULTS.md "pallas
+        threshold A/B"). "pallas" stays selectable for re-measurement on
+        future hardware.
+        """
+        if self.threshold_backend != "auto":
+            return self.threshold_backend
+        return "xla"
 
     @property
     def chol_normalized(self) -> bool:

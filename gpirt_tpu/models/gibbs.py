@@ -1818,6 +1818,25 @@ def draw_threshold(
                                     (H, m, Cp1))
         delta = threshold_to_delta(thresholds)  # (H, m, C-1)
         nu = jax.random.normal(k_nu, delta.shape, dt)
+        if (config.resolved_threshold_backend == "pallas"
+                and psum_axis is None and temp is None
+                and not config.constant_IRF):
+            # whole ESS loop in one VMEM-resident kernel: g/sgn/obs stream
+            # from HBM once (not once per shrink round) and each 128-lane
+            # tile exits at its own max round (ops/pallas_threshold.py)
+            from gpirt_tpu.ops.pallas_threshold import (
+                binary_threshold_ess_pallas,
+            )
+
+            L = H * m
+            g_rows = jnp.moveaxis(g, 1, 0).reshape(g.shape[1], L)  # (n, H*m)
+            s_rows = jnp.moveaxis(sgn, 1, 0).reshape(g.shape[1], L)
+            o_rows = jnp.moveaxis((y > 0), 1, 0).reshape(g.shape[1], L)
+            t_new = binary_threshold_ess_pallas(
+                k_ess, delta[..., 0].reshape(L), nu[..., 0].reshape(L),
+                g_rows, s_rows, o_rows, c,
+            )
+            return delta_to_threshold(t_new.reshape(H, m)[..., None])
         if config.threshold_ess_twophase:
             # continuation-compacted rounds: the lockstep while_loop costs
             # the MAX accept round over all lanes (~12-17 on senate116)

@@ -273,3 +273,68 @@ class TestPallasLL:
         from scipy import stats
         want = n * np.log(stats.norm.cdf(0.5) + 1e-6)
         np.testing.assert_allclose(out, want, rtol=1e-4)
+
+
+class TestPallasThresholdESS:
+    def _replica(self, key, t1, nu, g, sgn, obs, c, rounds):
+        """Pure-JAX replica consuming the kernel's exact uniform stream —
+        proves the in-kernel shrink loop implements ess_update's update."""
+        import jax
+        _TWO_PI = 6.283185307179586
+        L = t1.shape[0]
+        dt = g.dtype
+        k_u, k_eps, k_loop = jax.random.split(key, 3)
+        logu = jnp.log(jax.random.uniform(k_u, (L,), dtype=dt))
+        eps = jax.random.uniform(k_eps, (L,), dtype=dt, maxval=_TWO_PI)
+        rs = jax.random.uniform(k_loop, (rounds, L), dtype=dt)
+
+        def ll(t):
+            x = sgn * (t[None, :] - g) * c
+            # the kernel's polynomial erf (pallas_ll._erf), not lax.erf
+            from gpirt_tpu.ops.pallas_ll import _erf
+            p = 0.5 * (1.0 + _erf(x))
+            return jnp.sum(jnp.log(p + 1e-6) * obs, axis=0)
+
+        log_y = ll(t1) + logu
+        eps_min, eps_max = eps - _TWO_PI, jnp.full((L,), _TWO_PI, dt)
+        x_out = t1
+        active = np.ones(L, bool)
+        for r in range(rounds):
+            if not active.any():
+                break
+            prop = t1 * jnp.cos(eps) + nu * jnp.sin(eps)
+            accept = np.asarray(ll(prop) > log_y)
+            newly = active & accept
+            x_out = jnp.where(jnp.asarray(newly), prop, x_out)
+            still = active & ~accept
+            e = np.asarray(eps)
+            eps_min = jnp.where(jnp.asarray(still) & (eps < 0), eps, eps_min)
+            eps_max = jnp.where(jnp.asarray(still) & (eps >= 0), eps, eps_max)
+            eps = jnp.where(jnp.asarray(still),
+                            eps_min + rs[r] * (eps_max - eps_min), eps)
+            active = still
+        return x_out
+
+    def test_kernel_equals_replica(self):
+        from gpirt_tpu.ops.pallas_threshold import (
+            binary_threshold_ess_pallas, PALLAS_THRESHOLD_ROUNDS,
+        )
+
+        rng = np.random.default_rng(3)
+        n, L = 37, 130  # unaligned on purpose
+        g = jnp.asarray(rng.standard_normal((n, L)), jnp.float32)
+        sgn = jnp.asarray(np.sign(rng.standard_normal((n, L))), jnp.float32)
+        obs = jnp.asarray(rng.random((n, L)) > 0.3, jnp.float32)
+        t1 = jnp.asarray(rng.standard_normal(L), jnp.float32)
+        nu = jnp.asarray(rng.standard_normal(L), jnp.float32)
+        c = 0.7071067811865476
+        key = jax.random.key(11)
+        got = binary_threshold_ess_pallas(key, t1, nu, g, sgn, obs, c,
+                                          interpret=True)
+        want = self._replica(key, t1, nu, g, sgn, obs, c,
+                             PALLAS_THRESHOLD_ROUNDS)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # the update must move most lanes (sanity against identity bail)
+        moved = np.mean(np.asarray(got) != np.asarray(t1))
+        assert moved > 0.8, moved
