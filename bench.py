@@ -33,11 +33,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-# amortize TPU compiles across invocations
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-)
+# Amortize TPU compiles across invocations. MUST go through jax.config (not
+# the env var): the runtime imports jax at interpreter startup, so env vars
+# set here are read too late and the cache silently stays disabled — the
+# round-3 bench paid its full ~750-1000 s compile prologue on every run
+# because of exactly this (see gpirt_tpu/utils/cache.py).
+from gpirt_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 import numpy as np
 
@@ -191,6 +194,88 @@ def run_tpu_bench(sample_iterations=500, burn_iterations=100, n_chains=64,
         "n": n,
         "m": m,
         "platform": jax.devices()[0].platform,
+    }
+
+
+def run_pooled_opt_phase(n_campaigns=5, n_chains=64, draws=100, burn=25,
+                         smc_steps=160, threshold_method="newton"):
+    """Pooled-basis-optimal schedule: short independent campaigns.
+
+    The round-4 response surface (RESULTS.md "pooled-basis study",
+    scripts/tune_pooled.py) measured pooled theta-ESS per campaign to be
+    FLAT in the draw budget (~2.3/chain — the rank-normalized estimator
+    saturates on between-chain basin disagreement), so pooled ESS/sec is
+    maximized by the cheapest independent campaign: a short SMC anneal, a
+    token burn, ~100 draws, and the Newton-MH cutpoint kernel (+28% sweep
+    rate, same y-marginal conditional; within-chain autocorrelation is not
+    scored on this basis). Measured 84 pooled ESS/sec vs 29 at the r3
+    schedule.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gpirt_tpu.utils.profiling import fetch_sync
+
+    from gpirt_tpu.models import GPIRTConfig, make_constants
+    from gpirt_tpu.parallel.chains import run_chains_chunked, chain_keys
+    from gpirt_tpu.parallel.smc import anneal_init
+    from gpirt_tpu.utils.datasets import senate116_response_matrix
+    from gpirt_tpu.utils.diagnostics import effective_sample_size_device
+    from gpirt_tpu.utils.response import encode_categories
+    from gpirt_tpu.api import default_thresholds
+
+    rm, _, _ = senate116_response_matrix()
+    y, C, _ = encode_categories(np.asarray(rm))
+    H, n, m = y.shape
+    config = GPIRTConfig(n=n, m=m, horizon=H, C=C, dtype="float32",
+                         jitter=1e-4, threshold_method=threshold_method)
+    consts = make_constants(
+        config,
+        beta_prior_means=np.zeros((3, m)),
+        beta_prior_sds=np.full((3, m), 3.0),
+        theta_prior_means=np.zeros((2, n)),
+        theta_prior_sds=np.zeros((2, n)),
+    )
+    thr = default_thresholds(C, m, H)
+    rng = np.random.default_rng(0)
+    theta_init = np.stack(
+        [rng.permutation(np.linspace(-2, 2, n))[None]
+         for _ in range(n_chains)]
+    )
+    yj = jnp.asarray(y)
+    pooled_j = jax.jit(effective_sample_size_device)
+
+    def campaign(seed):
+        keys = chain_keys(seed, n_chains, impl=config.resolved_prng_impl)
+        t0 = time.time()
+        states, info = anneal_init(keys, yj, theta_init, thr, consts, config,
+                                   n_steps=smc_steps)
+        fetch_sync(states)
+        dr = run_chains_chunked(
+            keys, yj, theta_init, thr, consts, config,
+            sample_iterations=draws, burn_iterations=burn,
+            chunk_iterations=250, initial_states=states,
+        )
+        pooled = float(np.median(np.asarray(pooled_j(dr["theta"][:, :, 0]))))
+        return pooled, time.time() - t0, info["final_weight_ess"]
+
+    campaign(99)  # warm/compile
+    pooled_l, wall_l, wess_l = [], [], []
+    for s in range(1, n_campaigns + 1):
+        p, w, we = campaign(s)
+        pooled_l.append(p)
+        wall_l.append(w)
+        wess_l.append(we)
+        _log(f"pooled-opt campaign {s}: {w:.2f}s, pooled {p:.0f}, "
+             f"weight-ESS {we:.1f}/{n_chains}")
+    return {
+        "ess_pooled_per_sec_opt": sum(pooled_l) / sum(wall_l),
+        "pooled_med_opt": sum(pooled_l) / len(pooled_l),
+        "campaign_wall_opt": sum(wall_l) / len(wall_l),
+        "schedule_opt": {
+            "n_chains": n_chains, "draws": draws, "burn": burn,
+            "smc_steps": smc_steps, "threshold_method": threshold_method,
+            "n_campaigns": n_campaigns,
+        },
     }
 
 
@@ -551,6 +636,12 @@ def main():
     res = run_tpu_bench(f_method=args.f_method, smc_steps=args.smc_steps,
                         threshold_method=args.threshold_method,
                         threshold_ess_every=args.threshold_ess_every)
+    _log("matched-basis phase done; pooled-optimal phase")
+    try:
+        pooled_opt = run_pooled_opt_phase()
+    except Exception as e:  # noqa: BLE001 — bench must degrade gracefully
+        print(f"pooled-opt phase unavailable: {e}", file=sys.stderr)
+        pooled_opt = {}
     _log("tpu bench done; measuring native baseline")
     baseline_sec_per_iter = measure_native_baseline(repo_root)
     baseline_ess = measure_baseline_ess(repo_root)
@@ -564,8 +655,15 @@ def main():
         base_eff = (baseline_ess or {}).get("ess_per_iter", res["ess_per_iter"])
         baseline_esps = base_eff / baseline_sec_per_iter
         vs_baseline = res["ess_per_sec"] / baseline_esps
+        # the baseline is ONE chain, so its pooled basis IS its within
+        # basis — the same ess/sec denominator serves both comparisons
+        vs_baseline_pooled = (
+            pooled_opt["ess_pooled_per_sec_opt"] / baseline_esps
+            if pooled_opt else None
+        )
     else:
         vs_baseline = None
+        vs_baseline_pooled = None
     print(
         json.dumps(
             {
@@ -580,6 +678,15 @@ def main():
                     "ess_within_median": round(res["ess_within_median"], 1),
                     "ess_pooled_median": round(res["ess_pooled_median"], 1),
                     "ess_pooled_per_sec": round(res["ess_pooled_per_sec"], 3),
+                    # pooled-basis-optimal schedule (RESULTS.md pooled
+                    # study): short independent campaigns; the honest
+                    # conservative basis at its measured best
+                    "ess_pooled_per_sec_opt": round(
+                        pooled_opt["ess_pooled_per_sec_opt"], 3)
+                    if pooled_opt else None,
+                    "vs_baseline_pooled": round(vs_baseline_pooled, 2)
+                    if vs_baseline_pooled else None,
+                    "pooled_opt": pooled_opt or None,
                     "compile_sec": round(res["compile_sec"], 1),
                     "platform": res["platform"],
                     "baseline_sec_per_iter": baseline_sec_per_iter,
