@@ -12,10 +12,16 @@ test suite (which never tests the sampler at all, SURVEY.md section 4).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpirt_tpu.models.config import GPIRTConfig, make_constants
 from gpirt_tpu.models.gibbs import gibbs_sweep, theta_from_indices
 from gpirt_tpu.models.generate import sample_prior_state, sample_responses
+
+# Every Geweke oracle runs multi-thousand-sweep f64 chains — the slow tier
+# (VERDICT r3 weak 5). `pytest -m "not slow"` skips this module; the fast
+# tier still smoke-covers every sampler path via test_sampler/test_api.
+pytestmark = pytest.mark.slow
 
 
 def _stats(state, consts):

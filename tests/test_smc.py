@@ -37,6 +37,7 @@ def test_schedule():
     assert s[0] == 16.0 and s[-1] == 1.0
 
 
+@pytest.mark.slow
 def test_anneal_then_chain_matches_vanilla():
     """SMC-initialized chains must sample the same posterior as a plain
     long run (reflection-invariant moments within MC error)."""

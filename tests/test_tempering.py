@@ -46,6 +46,7 @@ def test_ladder():
     assert temperature_ladder(1, 5.0).tolist() == [1.0]
 
 
+@pytest.mark.slow
 def test_cold_marginal_matches_vanilla():
     """Reflection-invariant posterior moments from the tempered ensemble's
     cold lanes must agree with a long vanilla run within MC error."""
