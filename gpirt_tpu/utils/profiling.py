@@ -46,8 +46,16 @@ def fetch_sync(tree) -> None:
     float(jax.jit(_scalar_probe)(tree))
 
 
-def device_time(step_fn, init, reps: int = 20, attempts: int = 4) -> float:
+def device_time(step_fn, init, reps: int = 20, attempts: int = 4,
+                captures=None) -> float:
     """Seconds per application of ``step_fn`` (carry, i) -> carry.
+
+    ``captures``: optional pytree of large device arrays the step reads.
+    When given, ``step_fn`` is called as ``(carry, i, captures)`` and the
+    tree is passed as a jit ARGUMENT. Closing over big concrete arrays
+    instead would inline them as HLO literals — at 5k-respondent shapes
+    that multi-hundred-MB module blows the tunneled compile service's
+    request-size limit (HTTP 413) and bloats compile time everywhere.
 
     Measured as the SLOPE between a ``reps``-step and a ``5*reps``-step
     scan (each a single jit dispatch): per-dispatch fixed cost — ~24 ms of
@@ -64,11 +72,13 @@ def device_time(step_fn, init, reps: int = 20, attempts: int = 4) -> float:
     is lazy until a fetch (see :func:`fetch_sync`), and a fetch of the
     full carry would add multi-MB tunnel-transfer time to the wall."""
 
+    has_cap = captures is not None
+
     def build(k):
         @jax.jit
-        def run(init):
+        def run(init, cap):
             def body(c, i):
-                return step_fn(c, i), ()
+                return (step_fn(c, i, cap) if has_cap else step_fn(c, i)), ()
 
             c, _ = jax.lax.scan(body, init, jnp.arange(k))
             return _scalar_probe(c)
@@ -78,11 +88,11 @@ def device_time(step_fn, init, reps: int = 20, attempts: int = 4) -> float:
     run_lo, run_hi = build(reps), build(5 * reps)
 
     def wall(run):
-        float(run(init))  # compile + warm
+        float(run(init, captures))  # compile + warm
         best = float("inf")
         for _ in range(attempts):
             t0 = time.time()
-            float(run(init))
+            float(run(init, captures))
             best = min(best, time.time() - t0)
         return best
 

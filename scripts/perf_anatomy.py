@@ -23,12 +23,62 @@ os.environ.setdefault(
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
 )
 
+from gpirt_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()  # env var alone is read too early; see utils/cache.py
+
 import numpy as np
 
 # v5e: 197 TFLOP/s bf16 MXU peak per chip; XLA runs f32 matmuls on the MXU
 # via bf16x3 passes, so the honest f32 ceiling is ~1/3 of that. Report both.
 PEAK_BF16 = 197e12
 PEAK_F32 = PEAK_BF16 / 3
+# v5e HBM: 819 GB/s per chip.
+PEAK_HBM = 819e9
+
+
+def bytes_model(n, m, H, N, C, mix_subsweeps, n_chains):
+    """COMPULSORY HBM traffic per lockstep sweep (all chains), by block.
+
+    Counts only unique block inputs read once + outputs written once at
+    f32 (4 B) — the information-theoretic floor assuming perfect fusion
+    (intermediates live in VMEM/registers). achieved_GB/s = floor_bytes /
+    measured_time is therefore a LOWER bound on real traffic; a block near
+    PEAK_HBM on this basis is provably memory-bound, while a block far
+    below it is compute/latency-bound (its time is not explained by
+    compulsory traffic). Shared (chain-invariant) arrays — y one-hots,
+    masks, the grid eigenbasis — are charged once per sweep, not per
+    chain: XLA re-reads them per chain in practice, so this too
+    understates traffic.
+    """
+    B = 4.0
+    per_chain = {
+        # fstar table + mu_star read for the category-logprob table; z and
+        # the one-hot response operand for the grid contraction; theta_idx
+        # written. (The (N, m, C) table itself is an MXU operand fusion —
+        # not charged.)
+        "draw_theta": mix_subsweeps * B * (2 * N * m + n * m + n),
+        # g = f + mu read, z written, uniforms generated in-register.
+        "draw_z": mix_subsweeps * B * (3 * H * n * m),
+        # z - mu read; f and fstar written; eigenbasis coefficient solves
+        # are rank-35 (VMEM-resident).
+        "draw_fstar": mix_subsweeps * B * (2 * H * n * m + H * N * m),
+        # theta + residual read once, 3x3 systems in-register, beta written.
+        "draw_beta": B * (H * n * m + 2 * H * n + 3 * H * m),
+        # ~7 effective post-compaction rounds re-stream g per round (the
+        # XLA path's real traffic pattern; sgn/obs shared).
+        "draw_threshold": B * (7 * H * n * m + 2 * H * m * (C + 1)),
+        "ll_trace": B * (2 * H * n * m),
+    }
+    shared = {
+        "draw_theta": mix_subsweeps * B * (n * m * C),
+        "draw_z": mix_subsweeps * B * (n * m * C),
+        "draw_threshold": B * (7 * 2 * H * n * m),
+        "ll_trace": B * (n * m * C),
+    }
+    out = {k: v * n_chains for k, v in per_chain.items()}
+    for k, v in shared.items():
+        out[k] = out.get(k, 0.0) + v
+    return out
 
 
 def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains,
@@ -182,76 +232,93 @@ def main():
     def eps(c):
         return jnp.ravel(c)[0].astype(config.jdtype) * 0
 
+    # All large device arrays are threaded through device_time's `captures`
+    # jit argument — closing over them would inline multi-hundred-MB HLO
+    # literals at the 5k x 1k shape and 413 the tunneled compile service.
+    cap = dict(state=state, y=y, consts=consts, mu=mu, mu_star=mu_star,
+               z=z, theta=theta, keys=keys)
+
     times = {}
     times["full_sweep"] = device_time(
-        lambda s, i: jax.vmap(
-            lambda cs, k: gibbs_sweep(cs, k, y, consts, config)[0]
-        )(s, jax.vmap(lambda kk: jax.random.fold_in(kk, i))(keys)),
-        state, args.reps)
+        lambda s, i, cp: jax.vmap(
+            lambda cs, k: gibbs_sweep(cs, k, cp["y"], cp["consts"], config)[0]
+        )(s, jax.vmap(lambda kk: jax.random.fold_in(kk, i))(cp["keys"])),
+        state, args.reps, captures=cap)
     times["draw_theta"] = device_time(
-        lambda ti_, i: jax.vmap(
-            lambda s, ms: G.draw_theta(jax.random.fold_in(key, i), s, ms, y,
-                                       consts, config)
-        )(state._replace(theta_idx=ti_,
-                         thresholds=state.thresholds + eps(ti_)),
-          mu_star + eps(ti_)),
-        state.theta_idx, args.reps)
+        lambda ti_, i, cp: jax.vmap(
+            lambda s, ms: G.draw_theta(jax.random.fold_in(key, i), s, ms,
+                                       cp["y"], cp["consts"], config)
+        )(cp["state"]._replace(
+            theta_idx=ti_,
+            thresholds=cp["state"].thresholds + eps(ti_)),
+          cp["mu_star"] + eps(ti_)),
+        state.theta_idx, args.reps, captures=cap)
     times["draw_z"] = device_time(
-        lambda z_, i: jax.vmap(
-            lambda g, t: G.draw_z_truncnorm(jax.random.fold_in(key, i), g, y, t)
-        )(state.f + mu + z_ * 0, state.thresholds + eps(z_)),
-        z, args.reps)
+        lambda z_, i, cp: jax.vmap(
+            lambda g, t: G.draw_z_truncnorm(jax.random.fold_in(key, i), g,
+                                            cp["y"], t)
+        )(cp["state"].f + cp["mu"] + z_ * 0,
+          cp["state"].thresholds + eps(z_)),
+        z, args.reps, captures=cap)
     if config.affine_rounds > 0 or config.affine_shift_max > 0:
         times["affine_moves"] = device_time(
-            lambda ti_, i: jax.vmap(
+            lambda ti_, i, cp: jax.vmap(
                 lambda t_, z_, b: G.affine_theta_moves(
-                    jax.random.fold_in(key, i), t_, z_, b, consts, config)[0]
-            )(ti_, z, state.beta),
-            state.theta_idx, args.reps)
+                    jax.random.fold_in(key, i), t_, z_, b, cp["consts"],
+                    config)[0]
+            )(ti_, cp["z"], cp["state"].beta),
+            state.theta_idx, args.reps, captures=cap)
     times["draw_fstar"] = device_time(
-        lambda f_, i: jax.vmap(
+        lambda f_, i, cp: jax.vmap(
             lambda s, zr: G.draw_fstar_conjugate(
-                jax.random.fold_in(key, i), s, zr, config, consts)[1]
-        )(state._replace(
+                jax.random.fold_in(key, i), s, zr, config, cp["consts"])[1]
+        )(cp["state"]._replace(
             f=f_,
             # integer poison: keeps the theta-site basis gathers in the
             # timed loop (they re-run every sweep in reality)
-            theta_idx=state.theta_idx + jnp.ravel(f_)[0].astype(jnp.int32) * 0,
-        ), z - mu + eps(f_)),
-        state.f, args.reps)
+            theta_idx=cp["state"].theta_idx
+            + jnp.ravel(f_)[0].astype(jnp.int32) * 0,
+        ), cp["z"] - cp["mu"] + eps(f_)),
+        state.f, args.reps, captures=cap)
     times["draw_beta"] = device_time(
-        lambda b_, i: jax.vmap(
+        lambda b_, i, cp: jax.vmap(
             lambda th, zmf: G.draw_beta_conjugate(
-                jax.random.fold_in(key, i), th, zmf, consts, config)
-        )(theta + eps(b_), z - state.f + b_[:, :1, :1, ...] * 0),
-        state.beta, args.reps)
+                jax.random.fold_in(key, i), th, zmf, cp["consts"], config)
+        )(cp["theta"] + eps(b_),
+          cp["z"] - cp["state"].f + b_[:, :1, :1, ...] * 0),
+        state.beta, args.reps, captures=cap)
     times["draw_threshold"] = device_time(
-        lambda t_, i: jax.vmap(
+        lambda t_, i, cp: jax.vmap(
             lambda tt, f_, m_: G.draw_threshold(
-                jax.random.fold_in(key, i), tt, f_, m_, y, config)
-        )(t_, state.f + eps(t_), mu),
-        state.thresholds, args.reps)
+                jax.random.fold_in(key, i), tt, f_, m_, cp["y"], config)
+        )(t_, cp["state"].f + eps(t_), cp["mu"]),
+        state.thresholds, args.reps, captures=cap)
 
     fl = flops_model(n, m, H, N, C, config.affine_rounds, config.mix_subsweeps,
                      K, shift_window=config.affine_shift_max)
     fl_sweep = sum(fl.values())
+    by = bytes_model(n, m, H, N, C, config.mix_subsweeps, K)
+    by_sweep = sum(by.values())
 
     sum_blocks = sum(v for k, v in times.items() if k != "full_sweep")
-    print(f"\n{'block':<16}{'ms':>9}{'% sweep':>9}{'GFLOP':>9}{'TFLOP/s':>9}"
-          f"{'MFU f32':>9}")
+    print(f"\n{'block':<16}{'ms':>8}{'% sweep':>9}{'GFLOP':>8}{'TFLOP/s':>9}"
+          f"{'MFU f32':>9}{'MB':>7}{'GB/s':>7}{'% HBM':>7}")
     order = ["draw_theta", "draw_z", "affine_moves", "draw_fstar",
              "draw_beta", "draw_threshold"]
+
+    def roof_cols(f, b, t):
+        return (f"{f/1e9:>8.2f}{f/t/1e12:>9.2f}{100*f/t/PEAK_F32:>8.1f}%"
+                f"{b/2**20:>7.1f}{b/t/1e9:>7.0f}{100*b/t/PEAK_HBM:>6.0f}%")
+
     for k in order:
         if k not in times:
             continue
         t = times[k]
-        f = fl.get(k, 0.0)
-        print(f"{k:<16}{t*1e3:>9.2f}{100*t/times['full_sweep']:>8.1f}%"
-              f"{f/1e9:>9.2f}{f/t/1e12:>9.2f}{100*f/t/PEAK_F32:>8.1f}%")
+        print(f"{k:<16}{t*1e3:>8.2f}{100*t/times['full_sweep']:>8.1f}%"
+              + roof_cols(fl.get(k, 0.0), by.get(k, 0.0), t))
     t = times["full_sweep"]
-    print(f"{'-- full sweep':<16}{t*1e3:>9.2f}{'100.0%':>9}"
-          f"{fl_sweep/1e9:>9.2f}{fl_sweep/t/1e12:>9.2f}"
-          f"{100*fl_sweep/t/PEAK_F32:>8.1f}%")
+    print(f"{'-- full sweep':<16}{t*1e3:>8.2f}{'100.0%':>9}"
+          + roof_cols(fl_sweep, by_sweep, t))
     print(f"(sum of blocks {sum_blocks*1e3:.2f} ms vs fused sweep "
           f"{t*1e3:.2f} ms -> fusion/overlap gain "
           f"{100*(sum_blocks-t)/max(sum_blocks,1e-12):.0f}%)")
@@ -260,7 +327,11 @@ def main():
     print(f"note: MFU vs f32 ceiling {PEAK_F32/1e12:.0f} TF (bf16 peak "
           f"{PEAK_BF16/1e12:.0f} TF / 3 for bf16x3 f32 matmuls); "
           f"transcendental-heavy blocks run on the VPU where MXU MFU "
-          f"understates utilization")
+          f"understates utilization. MB/GB/s columns are the COMPULSORY-"
+          f"traffic floor (unique inputs+outputs once, perfect fusion) — "
+          f"% HBM vs the {PEAK_HBM/1e9:.0f} GB/s v5e roof is a LOWER bound "
+          f"on bandwidth utilization; near-roof blocks are provably "
+          f"memory-bound, far-below blocks are compute/latency-bound.")
 
 
 if __name__ == "__main__":
