@@ -23,6 +23,19 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache for the CPU test programs: the suite
+# compiles hundreds of XLA programs and the per-module clear_caches
+# fixture (below) forces recompiles on top — cached-program deserialization
+# is far cheaper than compilation, so warm runs of the suite drop
+# substantially. Keyed by HLO hash, so code changes invalidate exactly the
+# programs they alter. Directory is gitignored.
+from gpirt_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
 
