@@ -108,6 +108,21 @@ def ordinal_ll_terms(
       ``(..., n, m)`` array of ``log(Phi(t_y - g) - Phi(t_{y-1} - g) + 1e-6)``
       with exact zeros at missing entries.
     """
+    if thresholds.shape[-1] == 3:
+        # Binary fast path (C = 2): every observed cell has exactly one
+        # finite bound (t_0 = -inf, t_2 = +inf), so the interval probability
+        # collapses to Phi(t_1 - g) for y = 1 and 1 - Phi(t_1 - g) for y = 2
+        # — ONE Phi per cell instead of two, and a broadcast of t_1 instead
+        # of the two one-hot bound contractions. Bitwise-equal to the
+        # generic path in float64 (the clamped +-1e30 endpoint saturates
+        # _norm_cdf to exactly 0/1, and the HIGHEST-precision one-hot
+        # einsums reproduce t_1 exactly); float32 within 1 ulp.
+        t1 = thresholds[..., 1]  # (..., m)
+        z = t1[..., None, :] - g  # (..., n, m)
+        phi = _norm_cdf(z if inv_s is None else z * inv_s)
+        p = jnp.where(y == 1, phi, jnp.asarray(1.0, g.dtype) - phi)
+        terms = jnp.log(p + jnp.asarray(LL_FLOOR, g.dtype))
+        return jnp.where(y > 0, terms, jnp.zeros((), g.dtype))
     z_lo, z_hi, mask = cutpoint_bounds(y, thresholds)
     return ll_terms_from_bounds(g, z_lo, z_hi, mask, inv_s=inv_s)
 

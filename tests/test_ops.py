@@ -133,6 +133,27 @@ class TestLikelihood:
         want = np.log(1 - stats.norm.cdf(0.5 - 0.9) + 1e-6)
         np.testing.assert_allclose(float(got), want, rtol=1e-10)
 
+    def test_binary_fast_path_bitwise_matches_generic(self):
+        """The C=2 one-Phi fast path is float64-bitwise-equal to the
+        generic two-bound path (clamped +-1e30 endpoints saturate Phi to
+        exactly 0/1)."""
+        from gpirt_tpu.ops.likelihood import cutpoint_bounds, ll_terms_from_bounds
+
+        rng = np.random.default_rng(7)
+        n, m = 23, 17
+        g = jnp.asarray(rng.normal(size=(n, m)) * 3.0)
+        y = jnp.asarray(rng.integers(1, 3, size=(n, m)), jnp.int32)
+        y = jnp.where(jnp.asarray(rng.random(size=(n, m)) < 0.25), 0, y)
+        t1 = rng.normal(size=(m, 1))
+        thr = jnp.asarray(
+            np.concatenate([np.full((m, 1), -np.inf), t1, np.full((m, 1), np.inf)], axis=1)
+        )
+        for inv_s in (None, jnp.asarray(0.37)):
+            fast = ordinal_ll_terms(g, y, thr, inv_s=inv_s)
+            z_lo, z_hi, mask = cutpoint_bounds(y, thr)
+            generic = ll_terms_from_bounds(g, z_lo, z_hi, mask, inv_s=inv_s)
+            np.testing.assert_array_equal(np.asarray(fast), np.asarray(generic))
+
 
 class TestDeltaTransforms:
     @pytest.mark.parametrize("C", [2, 3, 5, 9])
