@@ -279,6 +279,59 @@ def run_pooled_opt_phase(n_campaigns=5, n_chains=64, draws=100, burn=25,
     }
 
 
+def run_campaign_phase(n_campaigns=8, n_seeds=3):
+    """The productized campaign estimator (gpirt_tpu.campaigns) at the
+    measured frontier schedule, ALL campaigns batched into one device
+    program per stage (anneal_init_batched + one lane-stacked sampling
+    run).
+
+    Reports three rates:
+      * ess_pooled_per_sec_opt — the pooled rank-normalized basis realized
+        by the batch (comparable to round 4's 83.3/s sequential-campaign
+        measurement; the batching A/B);
+      * ess_campaign_per_sec — the campaign-replicated implied ESS per
+        second, the honest basis (the calibration gate's estimator: ESS
+        defined by var(grand mean) = posterior_var / ESS, paid by
+        across-campaign variance);
+      * campaign_wall — wall per batch of n_campaigns.
+    """
+    from gpirt_tpu.campaigns import gpirt_campaigns
+    from gpirt_tpu.utils.datasets import senate116_response_matrix
+
+    rm, _, _ = senate116_response_matrix()
+    data = np.asarray(rm)
+    kw = dict(n_campaigns=n_campaigns, vote_codes=None, verbose=False,
+              store_draws=False)
+
+    gpirt_campaigns(data, SEED=990001, **kw)  # warm/compile
+    pooled_rate, camp_ess, camp_se, walls = [], [], [], []
+    for s in range(1, n_seeds + 1):
+        out = gpirt_campaigns(data, SEED=s * 100000, **kw)
+        w = out["walls"]["total_sec"]
+        pooled = float(np.sum(out["pooled_ess_per_campaign"]))
+        pooled_rate.append(pooled / w)
+        camp_ess.append(out["ess_campaign_median"])
+        camp_se.append(float(np.median(out["theta_se"])))
+        walls.append(w)
+        _log(f"campaign batch seed {s}: {n_campaigns} campaigns in {w:.2f}s"
+             f" ({w / n_campaigns:.2f}s/campaign), pooled sum {pooled:.0f}"
+             f" ({pooled / w:.1f}/s), implied campaign ESS "
+             f"{out['ess_campaign_median']:.1f}, theta SE med "
+             f"{np.median(out['theta_se']):.4f}")
+    wall = sum(walls) / len(walls)
+    return {
+        "ess_pooled_per_sec_opt": sum(pooled_rate) / len(pooled_rate),
+        "ess_campaign_per_sec": sum(camp_ess) / sum(walls),
+        "ess_campaign_median": sum(camp_ess) / len(camp_ess),
+        "theta_se_median": sum(camp_se) / len(camp_se),
+        "campaign_wall": wall / n_campaigns,
+        "batch_wall": wall,
+        "n_campaigns": n_campaigns,
+        "schedule_opt": {"api": "gpirt_campaigns", "batched": True,
+                         "n_campaigns": n_campaigns},
+    }
+
+
 def write_baseline_data(repo_root):
     """Dump the encoded senate116 matrix for the native baseline binary."""
     from gpirt_tpu.utils.datasets import senate116_response_matrix
@@ -605,12 +658,61 @@ def bench_fstar10k(grid_size=10001):
             "detail": {"platform": jax.devices()[0].platform}}
 
 
+def bench_campaigns8(n_campaigns=8):
+    """Campaign scaling over whatever devices exist (VERDICT r4 item 8).
+
+    Shards n_campaigns over a campaign mesh when multiple devices are
+    available (embarrassingly parallel — near-linear pooled scaling);
+    single-chip it measures the batched-campaign program."""
+    import jax
+
+    mesh, use = None, 1
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from jax.sharding import Mesh
+
+        use = n_dev
+        while n_campaigns % use:
+            use -= 1
+        mesh = Mesh(np.array(jax.devices()[:use]), ("campaigns",))
+        _log(f"campaign mesh: {use} devices x "
+             f"{n_campaigns // use} campaigns each")
+
+    from gpirt_tpu.campaigns import gpirt_campaigns
+    from gpirt_tpu.utils.datasets import senate116_response_matrix
+
+    rm, _, _ = senate116_response_matrix()
+    data = np.asarray(rm)
+    kw = dict(n_campaigns=n_campaigns, vote_codes=None, verbose=False,
+              store_draws=False, mesh=mesh)
+    gpirt_campaigns(data, SEED=990001, **kw)  # warm/compile
+    out = gpirt_campaigns(data, SEED=100000, **kw)
+    w = out["walls"]["total_sec"]
+    pooled = float(np.sum(out["pooled_ess_per_campaign"]))
+    return {
+        "metric": f"pooled ess/sec, {n_campaigns} campaigns over "
+                  f"{use} device(s)",
+        "value": round(pooled / w, 3), "unit": "ess/sec",
+        "vs_baseline": None,
+        "detail": {
+            "n_campaigns": n_campaigns,
+            "n_devices": use,
+            "batch_wall": round(w, 3),
+            "ess_campaign_median": round(out["ess_campaign_median"], 2),
+            "ess_campaign_per_sec": round(out["ess_campaign_median"] / w, 3),
+            "theta_se_median": round(float(np.median(out["theta_se"])), 5),
+            "platform": jax.devices()[0].platform,
+        },
+    }
+
+
 def main():
     import argparse
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="senate116",
-                    choices=["senate116", "sdo", "synthetic", "chains64", "fstar10k", "dynamic"])
+                    choices=["senate116", "sdo", "synthetic", "chains64",
+                             "fstar10k", "dynamic", "campaigns8"])
     ap.add_argument("--f-method", default="auto",
                     choices=["auto", "conjugate", "grid", "two_stage"])
     ap.add_argument("--smc-steps", type=int, default=320,
@@ -629,19 +731,25 @@ def main():
     if args.config != "senate116":
         fn = {"sdo": bench_sdo, "synthetic": bench_synthetic,
               "chains64": bench_chains64, "fstar10k": bench_fstar10k,
-              "dynamic": bench_dynamic}[args.config]
+              "dynamic": bench_dynamic,
+              "campaigns8": bench_campaigns8}[args.config]
         print(json.dumps(fn()))
         return
 
     res = run_tpu_bench(f_method=args.f_method, smc_steps=args.smc_steps,
                         threshold_method=args.threshold_method,
                         threshold_ess_every=args.threshold_ess_every)
-    _log("matched-basis phase done; pooled-optimal phase")
+    _log("matched-basis phase done; campaign-estimator phase")
     try:
-        pooled_opt = run_pooled_opt_phase()
+        pooled_opt = run_campaign_phase()
     except Exception as e:  # noqa: BLE001 — bench must degrade gracefully
-        print(f"pooled-opt phase unavailable: {e}", file=sys.stderr)
-        pooled_opt = {}
+        print(f"campaign phase failed ({e}); pooled-opt fallback",
+              file=sys.stderr)
+        try:
+            pooled_opt = run_pooled_opt_phase()
+        except Exception as e2:  # noqa: BLE001
+            print(f"pooled-opt phase unavailable: {e2}", file=sys.stderr)
+            pooled_opt = {}
     _log("tpu bench done; measuring native baseline")
     baseline_sec_per_iter = measure_native_baseline(repo_root)
     baseline_ess = measure_baseline_ess(repo_root)
@@ -684,6 +792,11 @@ def main():
                     "ess_pooled_per_sec_opt": round(
                         pooled_opt["ess_pooled_per_sec_opt"], 3)
                     if pooled_opt else None,
+                    # campaign-replicated basis: the calibration gate's
+                    # honest estimator, now a user API (gpirt_campaigns)
+                    "ess_campaign_per_sec": round(
+                        pooled_opt["ess_campaign_per_sec"], 3)
+                    if pooled_opt.get("ess_campaign_per_sec") else None,
                     "vs_baseline_pooled": round(vs_baseline_pooled, 2)
                     if vs_baseline_pooled else None,
                     "pooled_opt": pooled_opt or None,

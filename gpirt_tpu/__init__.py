@@ -16,6 +16,7 @@ __all__ = [
     "ops",
     "__version__",
     "gpirt_mcmc",
+    "gpirt_campaigns",
     "recover_fstar",
     "response_matrix",
     "is_response_matrix",
@@ -31,6 +32,10 @@ def __getattr__(name):
         from gpirt_tpu import api
 
         return getattr(api, name)
+    if name in ("gpirt_campaigns", "campaign_schedule"):
+        from gpirt_tpu import campaigns
+
+        return getattr(campaigns, name)
     if name in ("response_matrix", "is_response_matrix", "as_response_matrix",
                 "ResponseMatrix", "encode_categories"):
         from gpirt_tpu.utils import response

@@ -48,7 +48,7 @@ from gpirt_tpu.models.gibbs import (
 )
 from gpirt_tpu.ops.likelihood import ordinal_ll_terms
 
-__all__ = ["anneal_init", "annealing_schedule"]
+__all__ = ["anneal_init", "anneal_init_batched", "annealing_schedule"]
 
 
 def annealing_schedule(n_steps: int, max_temp: float) -> np.ndarray:
@@ -377,5 +377,123 @@ def anneal_init(
         "weight_ess": np.asarray(ess_trace),
         "n_resamples": int(np.asarray(resampled).sum()) + 1,
         "final_weight_ess": float(1.0 / np.sum(w_final * w_final)),
+    }
+    return states, info
+
+
+@functools.lru_cache(maxsize=16)
+def _batched_program(config: GPIRTConfig, K: int, n_steps: int,
+                     max_temp: float, sweeps_per_step: int,
+                     ess_threshold: float, per_chain_init: bool,
+                     mesh=None, campaign_axis: str = "campaigns"):
+    """ONE compiled program annealing B independent K-chain campaigns.
+
+    Per-campaign semantics are exactly ``anneal_init``'s: the single-campaign
+    init/run/final_resample closures are vmapped over a leading campaign
+    axis, so every cross-lane operation (weight logsumexp, ESS, systematic
+    resampling) stays campaign-local by construction — campaign b of the
+    batch equals a solo ``anneal_init`` run with the same keys, to
+    compile-level float associativity (the extra batch dim changes XLA's
+    fusions; measured ~2e-14 relative in float64,
+    tests/test_campaigns.py). Batching exists
+    because (a) each compiled gibbs-bearing program costs minutes of remote
+    compile in this image and the batch needs ONE for all three stages of
+    all B campaigns, and (b) a single device execution amortizes per-call
+    dispatch across campaigns.
+
+    ``mesh`` shard_maps the campaign axis over ``campaign_axis`` devices:
+    campaigns are embarrassingly parallel (no collectives inside), so the
+    sharded program is literally the local-batch program per device.
+    """
+    init, run, final_resample = _programs(
+        config, K, n_steps, max_temp, sweeps_per_step, ess_threshold,
+        per_chain_init)
+
+    def one_campaign(camp_keys, theta_init, thresholds_init, y, consts):
+        # same key derivation as anneal_init: per-campaign keys -> lanes
+        lane = jax.vmap(lambda k: jax.random.split(k, 3))(camp_keys)
+        k_init, k_run, k_res = lane[:, 0], lane[:, 1], lane[0, 2]
+        s = init(k_init, theta_init, thresholds_init, y, consts)
+        s, logw, ess_trace, resampled = run(s, k_run, k_res, y, consts)
+        s, w = final_resample(s, logw, k_res)
+        return s, w, ess_trace, resampled
+
+    batched = jax.vmap(one_campaign, in_axes=(0, None, None, None, None))
+    if mesh is None:
+        return jax.jit(batched)
+
+    from jax.sharding import PartitionSpec as P
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    cax = campaign_axis
+    state_specs = GPIRTState(*([P(cax)] * 5))
+    # P() as a pytree prefix replicates the whole consts dataclass
+    fn = shard_map(
+        batched, mesh=mesh,
+        in_specs=(P(cax), P(), P(), P(), P()),
+        out_specs=(state_specs, P(cax), P(cax), P(cax)), check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def anneal_init_batched(
+    keys: jax.Array,
+    y: jnp.ndarray,
+    theta_init: jnp.ndarray,
+    thresholds_init: jnp.ndarray,
+    consts: GPIRTConstants,
+    config: GPIRTConfig,
+    *,
+    n_steps: int = 128,
+    max_temp: float = 64.0,
+    sweeps_per_step: int = 1,
+    ess_threshold: float = 0.5,
+    mesh=None,
+    campaign_axis: str = "campaigns",
+):
+    """Anneal B independent K-chain campaigns in one device program.
+
+    ``keys`` is a (B, K) key array — row b seeds campaign b's chains, and
+    campaign b's results equal a solo ``anneal_init(keys[b], ...)`` run
+    (weight math and resampling are campaign-local; see _batched_program).
+    ``theta_init`` is shared across campaigns ((H, n), or (K, H, n) for
+    per-chain overdispersed inits). Returns ``(states, info)`` where every
+    ``states`` leaf carries a leading (B, K) and ``info`` arrays carry a
+    leading campaign axis: ``weight_ess`` (B, n_steps-1), ``n_resamples``
+    (B,), ``final_weight_ess`` (B,).
+
+    ``mesh`` shards campaigns over the ``campaign_axis`` axis (B must
+    divide by its size); data, inits and constants are replicated. The
+    reference has no analog — one sequential chain per run
+    (/root/reference/R/gpirtMCMC.R:112).
+    """
+    if config.resolved_f_method != "conjugate":
+        raise NotImplementedError("anneal_init needs f_method='conjugate'")
+    from gpirt_tpu.parallel.chains import canonical_mesh
+
+    mesh = canonical_mesh(mesh)
+    B, K = int(keys.shape[0]), int(keys.shape[1])
+    if mesh is not None:
+        if campaign_axis not in mesh.shape:
+            raise ValueError(f"mesh has no axis named {campaign_axis!r}")
+        if B % mesh.shape[campaign_axis] != 0:
+            raise ValueError(
+                f"{B} campaigns do not divide over "
+                f"{mesh.shape[campaign_axis]} campaign-axis devices")
+    theta_init = jnp.asarray(theta_init, config.jdtype)
+    prog = _batched_program(
+        config, K, n_steps, float(max_temp), sweeps_per_step,
+        float(ess_threshold), theta_init.ndim == 3, mesh, campaign_axis)
+    states, w, ess_trace, resampled = prog(
+        keys, theta_init, jnp.asarray(thresholds_init, config.jdtype),
+        y, consts)
+    w = np.asarray(w)  # (B, K)
+    info = {
+        "weight_ess": np.asarray(ess_trace),
+        "n_resamples": np.asarray(resampled).sum(axis=1).astype(int) + 1,
+        "final_weight_ess": 1.0 / np.sum(w * w, axis=1),
     }
     return states, info

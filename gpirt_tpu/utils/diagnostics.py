@@ -144,6 +144,10 @@ def effective_sample_size_device(draws, align_signs: bool = True):
 
     x = draws.astype(jnp.float32)
     K, S, P = x.shape
+    if S < 4:
+        # too few draws for any autocorrelation pair: no basis to estimate
+        # tau, so charge none (ess = K*S) — same guard as the numpy twin
+        return jnp.full((P,), float(K * S), jnp.float32)
     if align_signs:
         ref = x[0, 0] - jnp.mean(x[0, 0])
         cent = x - jnp.mean(x, axis=2, keepdims=True)

@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 MODULES = [
     ("gpirt_tpu.api",
      "The reference-parity user surface (R/gpirtMCMC.R, R/recover_fstar.R)."),
+    ("gpirt_tpu.campaigns",
+     "Campaign-replicated estimation: R independent SMC campaigns with "
+     "honest (replication-paid) uncertainty (no reference analog)."),
     ("gpirt_tpu.utils.response",
      "Response ingestion: recoding, unanimity filtering "
      "(R/response_matrix.R)."),
