@@ -429,14 +429,36 @@ def measure_baseline_ess(repo_root, iters=600, burn=100):
         return None
 
 
-def bench_sdo(sample_iterations=500, burn_iterations=200):
-    """SDO ordinal config: iterations/sec on the full 1500x16, C=5 survey."""
+def _ess_summary(theta):
+    """(within, pooled) median theta-ESS from device-resident draws.
+
+    theta: (K, S, ...) lane-stacked draws. Same bases as the senate
+    headline: within = per-chain ESS summed over chains (median over
+    params); pooled = Stan-style rank-normalized pooled ESS (median) —
+    both computed on device so the draw cube never crosses the tunnel.
+    """
+    import jax
+    import jax.numpy as jnp
+    from gpirt_tpu.utils.diagnostics import effective_sample_size_device
+
+    K, S = theta.shape[:2]
+    th = theta.reshape(K, S, -1)
+    per = jax.jit(jax.vmap(
+        lambda x: effective_sample_size_device(x[None])))(th)  # (K, P)
+    within = float(jnp.median(jnp.sum(per, axis=0)))
+    pooled = float(jnp.median(jax.jit(effective_sample_size_device)(th)))
+    return within, pooled
+
+
+def bench_sdo(sample_iterations=500, burn_iterations=200, n_chains=8):
+    """SDO ordinal config: effective samples/sec on the full 1500x16,
+    C=5 survey (8 batched chains, ESS methodology matching senate116)."""
     import jax
     import jax.numpy as jnp
     from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
-    from gpirt_tpu.models.sampler import run_chain
+    from gpirt_tpu.parallel.chains import chain_keys, run_chains_chunked
     from gpirt_tpu.utils.datasets import load_sdo
     from gpirt_tpu.utils.response import encode_categories
     from gpirt_tpu.api import default_thresholds
@@ -447,45 +469,51 @@ def bench_sdo(sample_iterations=500, burn_iterations=200):
     consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
                             np.zeros((2, n)), np.zeros((2, n)))
     thr = default_thresholds(C, m, H)
-    ti = np.random.default_rng(0).permutation(np.linspace(-2, 2, n))[None]
+    rng = np.random.default_rng(0)
+    ti = np.stack([
+        rng.permutation(np.linspace(-2, 2, n))[None] for _ in range(n_chains)
+    ])  # (K, 1, n)
     yj = jnp.asarray(y)
 
-    # ONE jitted program, data as arguments: an eager run_chain call
-    # re-traces its scans every call with the 20 MB y cube baked in as a
-    # program constant (measured ~24 s of host-side dispatch per call at
-    # the synthetic shape)
-    prog = jax.jit(lambda k, yy, t0_, th: run_chain(
-        k, yy, t0_, th, consts, config,
-        sample_iterations=sample_iterations,
-        burn_iterations=burn_iterations))
-    tij = jnp.asarray(ti, config.jdtype)
-    thj = jnp.asarray(thr, config.jdtype)
-
     def go(seed):
-        return prog(jax.random.key(seed, impl=config.resolved_prng_impl),
-                    yj, tij, thj)
+        return run_chains_chunked(
+            chain_keys(seed, n_chains, impl=config.resolved_prng_impl),
+            yj, ti, thr, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations, chunk_iterations=250,
+        )
 
     fetch_sync(go(9))
     t0 = time.time()
     d = go(1)
+    within, pooled = _ess_summary(d["theta"])
     fetch_sync(d)
     wall = time.time() - t0
-    total = sample_iterations + burn_iterations
-    return {"metric": "iterations/sec, SDO ordinal GP-IRT (1500x16, C=5)",
-            "value": round(total / wall, 2), "unit": "iters/sec",
+    total = (sample_iterations + burn_iterations) * n_chains
+    return {"metric": "effective samples/sec, SDO ordinal GP-IRT "
+                      "(1500x16, C=5, median theta ESS)",
+            "value": round(within / wall, 2), "unit": "ess/sec",
             "vs_baseline": None,
-            "detail": {"ll_final": float(np.asarray(d["ll"])[-1]),
+            "detail": {"iters_per_sec": round(total / wall, 2),
+                       "n_chains": n_chains,
+                       "ess_within_median": round(within, 1),
+                       "ess_pooled_median": round(pooled, 1),
+                       "ess_pooled_per_sec": round(pooled / wall, 2),
+                       "ll_final": float(np.asarray(d["ll"])[0, -1]),
                        "platform": jax.devices()[0].platform}}
 
 
-def bench_synthetic(n=5000, m=1000, sample_iterations=150, burn_iterations=30):
-    """5k x 1k synthetic: large gathered Gram + Cholesky, batched ESS."""
+def bench_synthetic(n=5000, m=1000, sample_iterations=150, burn_iterations=30,
+                    n_chains=4):
+    """5k x 1k synthetic: large gathered Gram + Cholesky, batched ESS;
+    effective samples/sec over 4 batched chains (HBM bounds the lane
+    count at this shape — f + fstar are ~25 MB/lane)."""
     import jax
     import jax.numpy as jnp
     from gpirt_tpu.utils.profiling import fetch_sync
 
     from gpirt_tpu.models import GPIRTConfig, make_constants
-    from gpirt_tpu.models.sampler import run_chain
+    from gpirt_tpu.parallel.chains import chain_keys, run_chains_chunked
     from gpirt_tpu.utils.datasets import simulate_2pl
     from gpirt_tpu.utils.response import encode_categories
     from gpirt_tpu.api import default_thresholds
@@ -496,30 +524,37 @@ def bench_synthetic(n=5000, m=1000, sample_iterations=150, burn_iterations=30):
     consts = make_constants(config, np.zeros((3, m)), np.full((3, m), 3.0),
                             np.zeros((2, n)), np.zeros((2, n)))
     thr = default_thresholds(C, m, 1)
-    ti = np.random.default_rng(0).permutation(np.linspace(-3, 3, n))[None]
+    rng = np.random.default_rng(0)
+    ti = np.stack([
+        rng.permutation(np.linspace(-3, 3, n))[None] for _ in range(n_chains)
+    ])
     yj = jnp.asarray(y)
 
-    prog = jax.jit(lambda k, yy, t0_, th: run_chain(
-        k, yy, t0_, th, consts, config,
-        sample_iterations=sample_iterations,
-        burn_iterations=burn_iterations))
-    tij = jnp.asarray(ti, config.jdtype)
-    thj = jnp.asarray(thr, config.jdtype)
-
     def go(seed):
-        return prog(jax.random.key(seed, impl=config.resolved_prng_impl),
-                    yj, tij, thj)
+        return run_chains_chunked(
+            chain_keys(seed, n_chains, impl=config.resolved_prng_impl),
+            yj, ti, thr, consts, config,
+            sample_iterations=sample_iterations,
+            burn_iterations=burn_iterations, chunk_iterations=250,
+        )
 
     fetch_sync(go(9))
     t0 = time.time()
     d = go(1)
+    within, pooled = _ess_summary(d["theta"])
     fetch_sync(d)
     wall = time.time() - t0
-    total = sample_iterations + burn_iterations
-    return {"metric": f"iterations/sec, synthetic {n}x{m} GP-IRT",
-            "value": round(total / wall, 2), "unit": "iters/sec",
+    total = (sample_iterations + burn_iterations) * n_chains
+    return {"metric": f"effective samples/sec, synthetic {n}x{m} GP-IRT "
+                      "(median theta ESS)",
+            "value": round(within / wall, 2), "unit": "ess/sec",
             "vs_baseline": None,
-            "detail": {"ll_final": float(np.asarray(d["ll"])[-1]),
+            "detail": {"iters_per_sec": round(total / wall, 2),
+                       "n_chains": n_chains,
+                       "ess_within_median": round(within, 1),
+                       "ess_pooled_median": round(pooled, 1),
+                       "ess_pooled_per_sec": round(pooled / wall, 2),
+                       "ll_final": float(np.asarray(d["ll"])[0, -1]),
                        "platform": jax.devices()[0].platform}}
 
 
@@ -567,9 +602,10 @@ def bench_dynamic(n=150, m=60, horizon=10, sample_iterations=300,
     fetch_sync(go(9))
     t0 = time.time()
     d = go(1)
+    within, pooled = _ess_summary(d["theta"])
     fetch_sync(d)
     wall = time.time() - t0
-    total = sample_iterations + burn_iterations
+    total = (sample_iterations + burn_iterations) * n_chains
     # posterior-mean drift recovery vs truth (chains sign-aligned first —
     # the reflection mode makes an unaligned pooled mean cancel)
     ch_means = np.asarray(jnp.mean(d["theta"], axis=1))  # (K, H, n)
@@ -578,10 +614,15 @@ def bench_dynamic(n=150, m=60, horizon=10, sample_iterations=300,
     sign[sign == 0] = 1
     th = (ch_means * sign).mean(axis=0)  # (H, n)
     r = abs(np.corrcoef(th.ravel(), tt.ravel())[0, 1])
-    return {"metric": f"iterations/sec, dynamic GP-theta {n}x{m}xH{horizon}",
-            "value": round(total / wall, 2), "unit": "iters/sec",
+    return {"metric": f"effective samples/sec, dynamic GP-theta "
+                      f"{n}x{m}xH{horizon} (median theta ESS)",
+            "value": round(within / wall, 2), "unit": "ess/sec",
             "vs_baseline": None,
-            "detail": {"n_chains": n_chains, "truth_corr": round(float(r), 3),
+            "detail": {"iters_per_sec": round(total / wall, 2),
+                       "n_chains": n_chains, "truth_corr": round(float(r), 3),
+                       "ess_within_median": round(within, 1),
+                       "ess_pooled_median": round(pooled, 1),
+                       "ess_pooled_per_sec": round(pooled / wall, 2),
                        "ll_final": float(np.asarray(d["ll"])[0, -1]),
                        "platform": jax.devices()[0].platform}}
 

@@ -179,10 +179,12 @@ def gpirt_mcmc(
     ``threshold_method`` selects the cutpoint update: "auto"/"ess" (the
     reference's y-marginal delta ESS — the measured theta-mixing winner
     and default), "collapsed" (exact z-box draw, fastest sweeps),
-    "interleave" (collapsed with periodic ESS), or "newton" (binary-only
-    Newton-proposal independence MH on the same y-marginal conditional:
-    +28% sweep rate at ``threshold_mh_tries`` passes, measured acceptance
-    ~0.91; see RESULTS.md threshold A/B for why "ess" stays the default).
+    "interleave" (collapsed with periodic ESS), or "newton"
+    (Newton-proposal independence MH on the same y-marginal conditional —
+    scalar t_1 kernel for binary data, joint delta-space kernel with the
+    exact tridiagonal cutpoint Hessian for ordinal C > 2: +28% sweep rate
+    at ``threshold_mh_tries`` passes, measured acceptance ~0.91 binary;
+    see RESULTS.md threshold A/B for why "ess" stays the default).
 
     ``n_temps > 1`` runs each chain as a parallel-tempering group:
     ``n_temps - 1`` hot lanes on a geometric ladder up to ``max_temp``

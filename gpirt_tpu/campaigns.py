@@ -56,11 +56,26 @@ def campaign_schedule(C: int = 2) -> Dict[str, Any]:
     }
 
 
-def _align_signs_np(draws: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    """Sign-align draws (S, P) against a centered reference (P,)."""
-    cent = draws - draws.mean(axis=1, keepdims=True)
-    sign = np.where(cent @ ref < 0, -1.0, 1.0)
-    return draws * sign[:, None]
+def _campaign_estimator(theta, R, K, S, P):
+    """Device-side campaign estimator (jit-able).
+
+    theta: (R*K, S, P) draws. Sign-aligns every draw against one global
+    centered reference (the theta -> -theta reflection invariance,
+    utils/diagnostics.align_theta_signs), then reduces to the small
+    summaries the estimator needs — only (R, P)-sized results cross the
+    host boundary (fetching the full draw cube over a tunneled TPU costs
+    more than the sampling; RESULTS.md measurement-honesty notes).
+    Returns (campaign_means (R, P), post_var (P,)).
+    """
+    x = theta.reshape(R, K, S, P)
+    ref = x[0, 0, 0] - jnp.mean(x[0, 0, 0])
+    cent = x - jnp.mean(x, axis=3, keepdims=True)
+    proj = jnp.einsum("rksp,p->rks", cent, ref)
+    sign = jnp.where(proj < 0, -1.0, 1.0)
+    xa = x * sign[..., None]
+    campaign_means = jnp.mean(xa, axis=(1, 2))
+    post_var = jnp.var(xa.reshape(R * K * S, P), axis=0, ddof=1)
+    return campaign_means, post_var
 
 
 def gpirt_campaigns(
@@ -275,25 +290,25 @@ def gpirt_campaigns(
     fetch_sync(draws)
     sampling_sec = time.time() - t1
 
-    # Per-campaign pooled rank-ESS (the single-run basis, for comparison):
-    # computed on device before any host transfer.
+    # Estimator + per-campaign pooled rank-ESS, all on device: only the
+    # (R, P)-sized summaries come back over the tunnel, never the draw
+    # cube (fetching it costs more than the sampling itself).
     S = sched["sample_iterations"]
-    theta_dev = draws["theta"].reshape((R, K, S, H * n))
-    pooled_fn = jax.jit(jax.vmap(effective_sample_size_device))
-    pooled = np.median(np.asarray(pooled_fn(theta_dev)), axis=1)  # (R,)
+    P = H * n
+    theta_dev = draws["theta"].reshape((R * K, S, P))
 
-    theta = np.asarray(draws["theta"], np.float64)  # (R*K, S, H, n)
-    theta = theta.reshape(R, K, S, H, n)
+    @jax.jit
+    def summaries(th):
+        cm, pv = _campaign_estimator(th, R, K, S, P)
+        pooled = jax.vmap(effective_sample_size_device)(
+            th.reshape(R, K, S, P))
+        return cm, pv, pooled
 
-    # Sign alignment: the posterior is invariant under theta -> -theta
-    # (likelihood symmetry; utils/diagnostics.py). Align every chain's
-    # draws against one global reference so campaign means are comparable.
-    flat = theta.reshape(R * K, S, H * n)
-    ref = flat[0, 0] - flat[0, 0].mean()
-    aligned = np.stack([_align_signs_np(c, ref) for c in flat])
-    aligned = aligned.reshape(R, K, S, H, n)
+    cm_d, pv_d, pooled_d = summaries(theta_dev)
+    campaign_means = np.asarray(cm_d, np.float64).reshape(R, H, n)
+    post_var = np.asarray(pv_d, np.float64).reshape(H, n)
+    pooled = np.median(np.asarray(pooled_d), axis=1)  # (R,)
 
-    campaign_means = aligned.mean(axis=(1, 2))  # (R, H, n)
     grand_mean = campaign_means.mean(axis=0)  # (H, n)
     # Campaign-replicated SE: campaigns are iid replicates of the whole
     # estimator, so var over campaigns / R estimates var(grand mean).
@@ -302,7 +317,6 @@ def gpirt_campaigns(
     # Implied ESS of the grand mean: ESS is defined by
     # var(estimate) = posterior_var / ESS (the calibration-gate identity),
     # with posterior_var estimated from all draws pooled.
-    post_var = aligned.reshape(R * K * S, H, n).var(axis=0, ddof=1)
     ess_campaign = post_var / np.maximum(se * se, 1e-300)
     ess_med = float(np.median(ess_campaign))
 
@@ -330,8 +344,10 @@ def gpirt_campaigns(
         "schedule": dict(sched, n_campaigns=R),
     }
     if store_draws:
+        # raw (unaligned) draws; the host fetch happens only on request
+        theta_np = np.asarray(draws["theta"]).reshape(R, K, S, H, n)
         st: Dict[str, np.ndarray] = {
-            "theta": np.moveaxis(theta, 3, -1),  # (R, K, S, n, H)
+            "theta": np.moveaxis(theta_np, 3, -1),  # (R, K, S, n, H)
             "ll": np.asarray(draws["ll"]).reshape(R, K, S),
         }
         if "threshold" in draws:

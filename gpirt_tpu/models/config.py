@@ -55,10 +55,12 @@ class GPIRTConfig:
     # marginal move does NOT recover theta mixing — one collapsed draw
     # re-anchors the cutpoints to the z box, so both arms lose to pure
     # "ess" on ess/sec; RESULTS.md threshold A/B) |
-    # "newton" (binary only: Newton-proposal independence MH on t_1 —
-    # targets the SAME y-marginal conditional as "ess" so no z-anchoring,
-    # at threshold_mh_tries + 1 fused (H,n,m) passes instead of ~10
-    # bracket-shrink rounds; Geweke-gated) |
+    # "newton" (Newton-proposal independence MH — binary: scalar t_1
+    # kernel; ordinal C > 2: joint delta-space kernel with the exact
+    # tridiagonal cutpoint Hessian — targets the SAME y-marginal
+    # conditional as "ess" so no z-anchoring, at threshold_mh_tries + 1
+    # fused (H,n,m[,C-1]) passes instead of ~10 bracket-shrink rounds;
+    # both Geweke-gated) |
     # "auto" (the measured winner — see resolved_threshold_method)
     threshold_ess_every: int = 4  # interleave period k: the y-marginal ESS
     # cutpoint update runs on iterations with i % k == 0, the collapsed
@@ -155,11 +157,6 @@ class GPIRTConfig:
                 "f_method must be 'auto', 'grid', 'two_stage' or 'conjugate', "
                 f"got {self.f_method!r}"
             )
-        if self.f_method == "conjugate" and self.constant_IRF:
-            raise ValueError(
-                "f_method='conjugate' does not support constant_IRF yet; "
-                "use 'grid' or 'two_stage'"
-            )
         if self.threshold_method not in ("auto", "ess", "collapsed",
                                          "interleave", "newton"):
             raise ValueError(
@@ -171,11 +168,6 @@ class GPIRTConfig:
             raise ValueError(
                 f"threshold_method={self.threshold_method!r} needs the "
                 "Albert-Chib latents (f_method='conjugate')"
-            )
-        if self.threshold_method == "newton" and self.C != 2:
-            raise ValueError(
-                "threshold_method='newton' is binary-only (C == 2); "
-                f"got C = {self.C}"
             )
         if self.threshold_backend not in ("auto", "xla", "pallas"):
             raise ValueError(

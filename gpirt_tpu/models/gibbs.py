@@ -587,6 +587,56 @@ def draw_z_truncnorm(
     return jnp.where(tail, fallback, z)
 
 
+def _fstar_conjugate_pooled(k_u, k_e, idx, z_resid, consts, config, sqrt_t,
+                            temp, respondent_axis):
+    """constant_IRF conjugate f* | z: the stacked (H*n)-site GP regression
+    on one shared grid function (see draw_fstar_conjugate docstring)."""
+    H, n, m = z_resid.shape
+    N = config.grid_size
+    dt = z_resid.dtype
+    q = consts.U_se.shape[1]
+    hi = jax.lax.Precision.HIGHEST
+    k_q, k_p, k_n = jax.random.split(k_u, 3)
+    z_q = _normal2d(k_q, (q, m), dt)
+    z_p = _normal2d(k_p, (3, m), dt)
+    z_n = _normal2d(k_n, (N, m), dt)
+    zc = jnp.concatenate([z_q, z_p], axis=0)  # (q+3, m)
+    sj = jnp.sqrt(jnp.asarray(config.jitter, dt))
+    U_theta = theta_site_basis(idx, consts)  # (H, n, q+3)
+    u_theta = (jnp.einsum("hnk,km->hnm", U_theta, zc, precision=hi)
+               + sj * z_n[idx])  # same draw gathered at every horizon
+    eps = _normal2d(k_e, (H, n, m), dt)
+    if sqrt_t is not None:
+        eps = eps * sqrt_t
+    t = jnp.asarray(1.0 if temp is None else temp, dt)
+
+    def _rsum(v):
+        return v if respondent_axis is None else jax.lax.psum(
+            v, respondent_axis)
+
+    # push-through smoother pooled over horizons (one k-dim solve total)
+    g_k = _rsum(jnp.einsum("hnk,hnm->km", U_theta,
+                           z_resid - u_theta - eps, precision=hi))
+    k_dim = U_theta.shape[-1]
+    C = t * jnp.eye(k_dim, dtype=dt) + _rsum(jnp.einsum(
+        "hnk,hnl->kl", U_theta, U_theta, precision=hi))
+    sc = jnp.sqrt(jnp.diagonal(C))
+    inv_sc = 1.0 / sc
+    Lc = jnp.linalg.cholesky(C * (inv_sc[:, None] * inv_sc[None, :]))
+
+    def c_solve(rhs):
+        w = tri_solve(Lc, rhs * inv_sc[:, None])
+        return tri_solve(Lc, w, trans=True) * inv_sc[:, None]
+
+    ua = c_solve(g_k)
+    ua = ua + c_solve(g_k - jnp.einsum("kl,lm->km", C, ua, precision=hi))
+    U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)
+    fstar0 = jnp.einsum("ak,km->am", U_grid, zc + ua, precision=hi) + sj * z_n
+    fstar = jnp.broadcast_to(fstar0[None], (H, N, m))
+    f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
+    return fstar, f
+
+
 def draw_fstar_conjugate(
     key: jax.Array,
     state: GPIRTState,
@@ -629,6 +679,19 @@ def draw_fstar_conjugate(
     sqrt_t, _ = _temp_scales(temp, dt)
     hi = jax.lax.Precision.HIGHEST
 
+    if config.constant_IRF:
+        # ONE shared grid function observed at all H*n sites (the stacked
+        # (n*H) GP, reference src/draw-f.cpp:85-125 + src/draw-fstar.cpp:
+        # 58-125 semantics, conjugate-ized): the prior draw loses its
+        # horizon axis, every horizon's sites gather from the SAME
+        # (N, m) nugget/basis draw — sites of different horizons at the
+        # same grid point share their latent exactly (the documented
+        # grid-path quirk) — and the capacitance pools the basis Gram
+        # over horizons: C = T I + sum_h U_h^T U_h.
+        return _fstar_conjugate_pooled(k_u, k_e, idx, z_resid, consts,
+                                       config, sqrt_t, temp,
+                                       respondent_axis)
+
     # Eigenbasis prior draw + Matheron projection SHARE the basis
     # U_grid = [U_se, Psi], so the whole draw factors through ONE
     # (N, q+3) x (q+3, m) matmul:
@@ -653,16 +716,40 @@ def draw_fstar_conjugate(
     if sqrt_t is not None:
         eps = eps * sqrt_t  # tempered observation noise sd sqrt(T)
 
-    alpha, _ = lowrank_bsolve(
-        idx, consts, z_resid - u_theta - eps, temp=temp,
-        psum_axis=respondent_axis,
-    )  # B^{-1} rhs via the rank-(q+3) capacitance — no (n, n) work
-    # The rank-3 polynomial part factors through the same basis, keeping
-    # the bf16-cancellation failure mode out (raw K entries are ~theta^4;
-    # basis entries are O(1)); HIGHEST (true f32) precision throughout.
-    ua = jnp.einsum("hnk,hnm->hkm", U_theta, alpha, precision=hi)
-    if respondent_axis is not None:
-        ua = jax.lax.psum(ua, respondent_axis)
+    # Push-through identity (same as _fstar_matheron's smoother): with
+    # B = T I + U U^T and capacitance C = T I + U^T U,
+    #     U^T B^{-1} rhs = C^{-1} U^T rhs        (exactly, any T)
+    # and the grid projection only ever needs U^T alpha — so the full
+    # n-dimensional B^{-1} solve (lowrank_bsolve: ~25 dependent small ops,
+    # measured latency-bound at 0.5 TF/s, RESULTS.md anatomy) and the
+    # (H, n, m) alpha materialization are deleted outright: ONE gathered
+    # U^T contraction, one (q+3, q+3) equilibrated Cholesky solve with a
+    # refinement step, one U_grid matmul. The rank-3 polynomial part
+    # factors through the same basis, keeping the bf16-cancellation
+    # failure mode out (raw K entries are ~theta^4; basis entries are
+    # O(1)); HIGHEST (true f32) precision throughout.
+    t = jnp.asarray(1.0 if temp is None else temp, dt)
+
+    def _rsum(v):
+        return v if respondent_axis is None else jax.lax.psum(
+            v, respondent_axis)
+
+    g_k = _rsum(jnp.einsum("hnk,hnm->hkm", U_theta,
+                           z_resid - u_theta - eps, precision=hi))
+    k_dim = U_theta.shape[-1]
+    C = t * jnp.eye(k_dim, dtype=dt) + _rsum(jnp.einsum(
+        "hnk,hnl->hkl", U_theta, U_theta, precision=hi))
+    sc = jnp.sqrt(jnp.diagonal(C, axis1=-2, axis2=-1))  # (H, k)
+    inv_sc = 1.0 / sc
+    Lc = jnp.linalg.cholesky(C * (inv_sc[..., :, None]
+                                  * inv_sc[..., None, :]))
+
+    def c_solve(rhs):  # C^{-1} rhs, equilibrated (f32 robustness)
+        w = tri_solve(Lc, rhs * inv_sc[..., None])
+        return tri_solve(Lc, w, trans=True) * inv_sc[..., None]
+
+    ua = c_solve(g_k)
+    ua = ua + c_solve(g_k - jnp.einsum("hkl,hlm->hkm", C, ua, precision=hi))
     U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)  # (N, q+3)
     fstar = jnp.einsum("ak,hkm->ham", U_grid, zc + ua, precision=hi) + sj * z_n
     f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
@@ -1620,6 +1707,180 @@ def _draw_threshold_binary_newton(key, thresholds, g, y, config, inv_s,
                       jnp.full_like(t1, big)], axis=-1)  # (H, m, 3)
 
 
+def _draw_threshold_newton_ordinal(key, thresholds, g, y, config, inv_s,
+                                   psum_axis=None):
+    """Newton-proposal independence MH on the ordinal cutpoint vector.
+
+    The C > 2 generalization of ``_draw_threshold_binary_newton``: targets
+    the SAME y-marginal conditional as the delta-ESS update — delta-space
+    prior N(0, I) (the reference's parametrization,
+    src/draw_threshold.cpp:99-169 via src/log-likelihood.cpp:66-88),
+    likelihood sum of log(P(y_ij | t) + 1e-6) — but replaces the ~10
+    bracket-shrink rounds with ``threshold_mh_tries`` joint MH tries at
+    one fused pass per try. Each pass computes, per item lane:
+
+      * psi(d): the log conditional (one (H, n, m, C-1) erf table);
+      * the exact likelihood gradient/Hessian in CUTPOINT space — per
+        cell only the category's own two bounds contribute, so grad_t is
+        one pdf contraction and H_t is TRIDIAGONAL (diag from each bound,
+        one off-diagonal from cells whose lower bound c and upper bound
+        c+1 are both interior, i.e. y = c+1);
+      * the chain-rule transport to delta space (J lower-triangular with
+        exp(delta) columns; the curvature term adds sum_{c>=j} grad_t[c]
+        exp(d_j) to the diagonal).
+
+    The proposal is N(d + clip(Newton step), eta^2 (-H_psi)^{-1}) with
+    H_psi made strictly negative-definite by a Gershgorin
+    diagonal-dominance ridge (proposal-only — psi itself is exact, so the
+    acceptance ratio is exact proposal-aware independence MH, same shape
+    as the binary kernel). Exactness is gated by
+    tests/test_geweke.py::TestGewekeOrdinalNewton.
+
+    ``psum_axis``: respondent-sharded rows complete their data sums via
+    one psum per pass (prior terms added once, shard-free).
+    """
+    H, m, Cp1 = thresholds.shape
+    C = Cp1 - 1
+    q = C - 1  # interior cutpoints == delta dimension
+    dt = thresholds.dtype
+    pooled = bool(config.constant_IRF)
+    red_axes = (0, 1) if pooled else (1,)
+    cscale = jnp.asarray(1.0, dt) if inv_s is None else inv_s.astype(dt)
+    inv_sqrt2 = jnp.asarray(0.7071067811865476, dt)
+    inv_sqrt2pi = jnp.asarray(0.3989422804014327, dt)
+    floor = jnp.asarray(1e-6, dt)
+    eta = jnp.asarray(1.1, dt)  # proposal-sd inflation (binary kernel's)
+    onehot = jax.nn.one_hot(y - 1, C, dtype=dt)  # (H, n, m, C); y=0 -> 0
+    up = onehot[..., :q]   # cell's upper bound is interior cutpoint c
+    lo = onehot[..., 1:]   # cell's lower bound is interior cutpoint c
+
+    def stats(d):
+        """psi, Newton proposal (mean, chol(-H_psi)) at delta d per lane.
+
+        d: (m, q) pooled or (H, m, q). Returns (psi, mean, L, logdet)
+        with lane shapes (m,)/(H, m) + (q,)/(q, q) trailing.
+        """
+        thr = delta_to_threshold(d)  # (..., m, C+1)
+        t_int = thr[..., 1:C]  # (..., m, q)
+        b = t_int[..., None, :, :] if pooled else t_int[:, None]
+        u = (b - g[..., None]) * cscale  # (H, n, m, q)
+        cdf = 0.5 * (1.0 + jax.lax.erf(u * inv_sqrt2))
+        pdf = inv_sqrt2pi * jnp.exp(-0.5 * u * u)
+        shp = cdf.shape[:-1]
+        zero = jnp.zeros(shp + (1,), dt)
+        one = jnp.ones(shp + (1,), dt)
+        cdf_full = jnp.concatenate([zero, cdf, one], axis=-1)
+        p_cat = cdf_full[..., 1:] - cdf_full[..., :-1]  # (H, n, m, C)
+        # per-cell interval probability + floor (the exact target's floor)
+        hi_p = jax.lax.Precision.HIGHEST
+        p_cell = jnp.einsum("hijc,hijc->hij", p_cat, onehot,
+                            precision=hi_p) + floor
+        obs = y > 0
+        term = jnp.log(p_cell) * obs
+        # cutpoint-space derivatives: w_c = (up_c - lo_c) pdf_c / p_cell
+        sgn_b = up - lo  # (H, n, m, q), 0 on missing cells (one_hot of -1)
+        w = sgn_b * pdf / p_cell[..., None]
+        grad_c = w  # sum over cells below
+        # diagonal: pdf'(u) = -u pdf; (up - lo)^2 = up + lo (disjoint)
+        diag_c = (-u * pdf * sgn_b - pdf * pdf * (up + lo)
+                  / p_cell[..., None]) / p_cell[..., None]
+        # off-diagonal (c, c+1): cells with y = c+1 have lower bound c and
+        # upper bound c+1; d^2 log p / dt_c dt_{c+1} = +pdf_c pdf_{c+1}/p^2
+        # (p = Phi(u_{c+1}) - Phi(u_c): dp/dt_c = -s pdf_c, so the quotient
+        # rule's two minuses cancel)
+        off_c = (pdf[..., :-1] * pdf[..., 1:] * lo[..., :-1]
+                 / (p_cell[..., None] ** 2)) if q > 1 else None
+        sums = [jnp.sum(term, axis=red_axes),
+                jnp.sum(grad_c, axis=red_axes),
+                jnp.sum(diag_c, axis=red_axes)]
+        if q > 1:
+            sums.append(jnp.sum(off_c, axis=red_axes))
+        if psum_axis is not None:
+            sums = [jax.lax.psum(s, psum_axis) for s in sums]
+        ll_sum, grad_t, diag_t = sums[0], sums[1], sums[2]
+        off_t = sums[3] if q > 1 else None
+        grad_t = grad_t * cscale
+        diag_t = diag_t * cscale * cscale
+        if q > 1:
+            off_t = off_t * cscale * cscale
+
+        # delta-space transport: t_c = d_1 + sum_{2<=j<=c} exp(d_j)
+        # J[c, j] = 1 (j = 1), exp(d_j) (2 <= j <= c), 0 (j > c)
+        ed = jnp.exp(d)  # (..., q)
+        col = jnp.where(jnp.arange(q) == 0, jnp.ones((), dt), ed)  # (..., q)
+        tri = (jnp.arange(q)[:, None] >= jnp.arange(q)[None, :]).astype(dt)
+        J = tri * col[..., None, :]  # (..., q, q)
+        grad_d = jnp.einsum("...cj,...c->...j", J, grad_t, precision=hi_p)
+        # H_t tridiagonal -> dense (q, q), then J^T H_t J
+        Ht = jnp.zeros(diag_t.shape + (q,), dt)
+        ii = jnp.arange(q)
+        Ht = Ht.at[..., ii, ii].set(diag_t)
+        if q > 1:
+            jj = jnp.arange(q - 1)
+            Ht = Ht.at[..., jj, jj + 1].set(off_t)
+            Ht = Ht.at[..., jj + 1, jj].set(off_t)
+        Hd = jnp.einsum("...ci,...cd,...dj->...ij", J, Ht, J,
+                        precision=hi_p)
+        # curvature of the map: d^2 t_c / d d_j^2 = exp(d_j) for j >= 2
+        curv = col * jnp.cumsum(grad_t[..., ::-1], axis=-1)[..., ::-1]
+        curv = jnp.where(jnp.arange(q) == 0, jnp.zeros((), dt), curv)
+        Hd = Hd + jnp.zeros_like(Hd).at[..., ii, ii].set(curv)
+
+        psi = -0.5 * jnp.sum(d * d, axis=-1) + ll_sum
+        grad_psi = -d + grad_d
+        A = -(Hd - jnp.eye(q, dtype=dt))  # -(H_lik + H_prior)
+        # Gershgorin diagonal-dominance ridge: tau >= 0 makes A + tau I
+        # strictly PD (proposal-only; psi stays exact)
+        offsum = jnp.sum(jnp.abs(A), axis=-1) - jnp.abs(
+            jnp.diagonal(A, axis1=-2, axis2=-1))
+        tau = jnp.maximum(
+            0.0, jnp.max(offsum - jnp.diagonal(A, axis1=-2, axis2=-1)
+                         + 1.0, axis=-1))
+        A = A + tau[..., None, None] * jnp.eye(q, dtype=dt)
+        L = jnp.linalg.cholesky(A)
+        # Newton step: A step = grad_psi
+        step = jax.scipy.linalg.cho_solve((L, True), grad_psi[..., None])
+        mean = d + jnp.clip(step[..., 0], -3.0, 3.0)
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1)), axis=-1)
+        return psi, mean, L, logdet
+
+    def log_q(x, mean, L, logdet):
+        # N(mean, eta^2 A^{-1}): 0.5 logdet(A) - q log(eta)
+        #   - |L^T (x - mean)|^2 / (2 eta^2)
+        r = jnp.einsum("...ij,...i->...j", L, x - mean)
+        return (0.5 * logdet - q * jnp.log(eta)
+                - 0.5 * jnp.sum(r * r, axis=-1) / (eta * eta))
+
+    d0 = threshold_to_delta(thresholds[0] if pooled else thresholds)
+    d_cur = d0
+    cur = stats(d_cur)
+    for k in range(config.threshold_mh_tries):
+        k_z, k_u, key = jax.random.split(jax.random.fold_in(key, k), 3)
+        psi0, mean0, L0, ld0 = cur
+        z = jax.random.normal(k_z, d_cur.shape, dt)
+        # prop = mean + eta L^{-T} z  (covariance eta^2 A^{-1})
+        prop = mean0 + eta * jax.lax.linalg.triangular_solve(
+            L0, z[..., None], left_side=True, lower=True,
+            transpose_a=True)[..., 0]
+        psi1, mean1, L1, ld1 = stats(prop)
+        log_a = (psi1 - psi0
+                 + log_q(d_cur, mean1, L1, ld1)
+                 - log_q(prop, mean0, L0, ld0))
+        acc = jnp.log(jax.random.uniform(k_u, psi0.shape, dt)) < log_a
+        accq = acc[..., None]
+        d_cur = jnp.where(accq, prop, d_cur)
+        cur = (jnp.where(acc, psi1, psi0),
+               jnp.where(accq, mean1, mean0),
+               jnp.where(accq[..., None], L1, L0),
+               jnp.where(acc, ld1, ld0))
+
+    thr_new = delta_to_threshold(d_cur)
+    if pooled:
+        return jnp.broadcast_to(thr_new[None], (H, m, Cp1))
+    return thr_new
+
+
 def _ess_binary_twophase(key, x, nu, ll_full, ll_rows, *, r1, max_rounds,
                          s_max):
     """One ESS update over flat scalar lanes, later rounds compacted.
@@ -1871,6 +2132,10 @@ def draw_threshold(
             lambda d: _binary_ll(delta_to_threshold(d)[..., 1], False),
             max_rounds=config.ess_max_rounds)
         return delta_to_threshold(d_new)
+
+    if config.resolved_threshold_method == "newton":
+        return _draw_threshold_newton_ordinal(key, thresholds, g, y,
+                                              config, inv_s, psum_axis)
 
     # gather-free likelihood: all C category log-probs (categories share
     # cutpoint boundaries, so this costs (C+1) Phi per observation) dotted

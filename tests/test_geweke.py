@@ -28,6 +28,8 @@ def _stats(state, consts):
     """Scalar summary statistics of a state (means and second moments)."""
     theta = theta_from_indices(state.theta_idx, consts)
     t1 = state.thresholds[..., 1]
+    t_int = state.thresholds[..., 1:-1]  # ALL interior cutpoints: biases
+    # in ordinal gap deltas show here even when t_1's marginal stays right
     return jnp.stack(
         [
             jnp.mean(theta),
@@ -38,6 +40,8 @@ def _stats(state, consts):
             jnp.mean(state.fstar[:, ::25, :] ** 2),
             jnp.mean(t1),
             jnp.mean(t1**2),
+            jnp.mean(t_int),
+            jnp.mean(t_int**2),
         ]
     )
 
@@ -86,7 +90,7 @@ class TestGeweke:
         sc = np.asarray(sc)[500::thin]  # burn + thin the dependent chain
 
         # ---- compare moments with MC-error-aware z-scores
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12", "ti", "ti2"]
         fails = []
         for j, name in enumerate(names):
             mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
@@ -133,6 +137,18 @@ class TestGewekeRegimes:
                              constant_IRF=True)
         _run_geweke_sweep(config, n, m, H)
 
+    def test_constant_irf_conjugate(self):
+        """conjugate x constant_IRF (VERDICT r4 item 6): the pooled
+        stacked-GP f* | z draw (gibbs._fstar_conjugate_pooled) must target
+        the shared-IRF joint exactly — fs/fs2 and the cutpoint stats
+        detect a wrong capacitance pooling or nugget sharing."""
+        n, m, H, C, N = 5, 3, 2, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             constant_IRF=True)
+        assert config.resolved_f_method == "conjugate"
+        _run_geweke_sweep(config, n, m, H, seed=5)
+
 
 class TestGewekeTempered:
     def test_joint_distribution_tempered(self):
@@ -176,7 +192,7 @@ class TestGewekeTempered:
         _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
         sc = np.asarray(sc)[500::3]
 
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12", "ti", "ti2"]
         fails = []
         for j, name in enumerate(names):
             mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
@@ -236,7 +252,7 @@ class TestGewekeConjugate:
         _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
         sc = np.asarray(sc)[500::3]
 
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12", "ti", "ti2"]
         fails = []
         for j, name in enumerate(names):
             mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
@@ -295,7 +311,7 @@ class TestGewekeBinaryCollapsed:
         _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
         sc = np.asarray(sc)[500::3]
 
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12", "ti", "ti2"]
         fails = []
         for j, name in enumerate(names):
             mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
@@ -340,7 +356,7 @@ def _run_geweke_sweep(config, n, m, H, seed=0, mask=None):
     _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
     sc = np.asarray(sc)[500::3]
 
-    names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+    names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12", "ti", "ti2"]
     fails = []
     for j, name in enumerate(names):
         mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
@@ -408,6 +424,39 @@ class TestGewekeBinaryNewton:
         _run_geweke_sweep(config, n, m, H, seed=3)
 
 
+class TestGewekeOrdinalNewton:
+    """Joint-distribution oracle for the ordinal (C > 2) Newton cutpoint
+    kernel (gibbs._draw_threshold_newton_ordinal): joint delta-space
+    independence MH with the exact tridiagonal cutpoint Hessian. Any error
+    in the gradient/Hessian transport (J, the curvature diagonal, the
+    off-diagonal sign) biases the cutpoint joint — the ti/ti2 statistics
+    (ALL interior cutpoints) detect what t1/t12 alone cannot."""
+
+    def test_ordinal_newton_masked(self):
+        n, m, H, C, N = 6, 3, 1, 3, 61
+        mask = jnp.asarray(np.random.default_rng(11).random((H, n, m)) > 0.3)
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             threshold_method="newton")
+        assert config.resolved_threshold_method == "newton"
+        _run_geweke_sweep(config, n, m, H, mask=mask)
+
+    def test_ordinal_newton_c5(self):
+        """SDO-like C = 5 (4 interior cutpoints, 3 gap deltas)."""
+        n, m, H, C, N = 6, 3, 1, 5, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="conjugate",
+                             threshold_method="newton")
+        _run_geweke_sweep(config, n, m, H, seed=7)
+
+    def test_ordinal_newton_constant_irf(self):
+        n, m, H, C, N = 5, 3, 2, 3, 61
+        config = GPIRTConfig(n=n, m=m, horizon=H, C=C, grid_size=N,
+                             dtype="float64", f_method="grid",
+                             constant_IRF=True, threshold_method="newton")
+        _run_geweke_sweep(config, n, m, H, seed=3)
+
+
 class TestGewekeThresholdShift:
     """Joint-distribution oracle for the (cutpoints, beta0) shift move
     (gibbs.draw_threshold_shift): the likelihood-null Gibbs draw must use
@@ -470,7 +519,7 @@ class TestGewekeTwoStage:
         _, sc = jax.lax.scan(sc_step, (st0, y0), jax.random.split(kr, 12000))
         sc = np.asarray(sc)[500::3]
 
-        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12"]
+        names = ["th", "th2", "b", "b2", "fs", "fs2", "t1", "t12", "ti", "ti2"]
         fails = []
         for j, name in enumerate(names):
             mf, vf = fwd[:, j].mean(), fwd[:, j].var() / len(fwd)
