@@ -1027,6 +1027,58 @@ def woodbury_quad_parts(wb: WoodburyB, r: jnp.ndarray):
     return p, u * v
 
 
+def _lowrank_quad_parts(theta_idx: jnp.ndarray, consts: GPIRTConstants,
+                        r: jnp.ndarray, temp=None, psum_axis=None):
+    """(p, q, logdet) of B = K(theta) + T I via the rank-(q+3) split, with
+    NO (n, n) work: sum(p) - sum(q) = r^T B^{-1} r and logdet = logdet B.
+
+    The low-rank dual of woodbury_quad_parts for mesh-sharded respondents
+    (same B = T I + U U^T split as lowrank_bsolve): p = r*r/T has the local
+    respondent rows (its global sum needs a psum over ``psum_axis``), while
+    q = Ur * C^{-1} Ur / T (H, k, m) is built from psum-COMPLETE
+    U^T-contractions, so it is identical on every respondent shard and must
+    NOT be psum'd again. Both stay elementwise so MH acceptance ratios can
+    difference candidates entry-by-entry (the totals are O(n*m) while
+    candidate differences are O(1) — see woodbury_quad_parts).
+    """
+    H, n = theta_idx.shape
+    dt = r.dtype
+    t = jnp.asarray(1.0 if temp is None else temp, dt)
+
+    def _rsum(v):
+        return v if psum_axis is None else jax.lax.psum(v, psum_axis)
+
+    U = jnp.concatenate(
+        [consts.U_se[theta_idx], consts.Psi_grid[theta_idx]], axis=-1
+    )  # (H, n, k)
+    k = U.shape[-1]
+    C = t * jnp.eye(k, dtype=dt) + _rsum(jnp.einsum(
+        "hnk,hnl->hkl", U, U, precision=_HI
+    ))
+    sc = jnp.sqrt(jnp.diagonal(C, axis1=-2, axis2=-1))  # (H, k)
+    inv_sc = 1.0 / sc
+    Ceq = C * (inv_sc[..., :, None] * inv_sc[..., None, :])
+    Lc = jnp.linalg.cholesky(Ceq)
+
+    def c_solve(rhs):  # C^{-1} rhs with equilibration + one refinement
+        def once(b):
+            w = tri_solve(Lc, b * inv_sc[..., None])
+            return tri_solve(Lc, w, trans=True) * inv_sc[..., None]
+        w = once(rhs)
+        resid = rhs - jnp.einsum("hkl,hlm->hkm", C, w, precision=_HI)
+        return w + once(resid)
+
+    Ur = _rsum(jnp.einsum("hnk,hnm->hkm", U, r, precision=_HI))  # (H, k, m)
+    p = r * r / t
+    q = Ur * c_solve(Ur) / t
+    n_glob = n if psum_axis is None else n * jax.lax.psum(1, psum_axis)
+    logdet = (n_glob - k) * jnp.log(t) + 2.0 * (
+        jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)), axis=-1)
+        + jnp.sum(jnp.log(sc), axis=-1)
+    )
+    return p, q, logdet
+
+
 # ---------------------------------------------------------------------------
 # collective affine moves (conjugate path)
 # ---------------------------------------------------------------------------
@@ -1058,6 +1110,8 @@ def _z_marginal_parts(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     temp=None,
+    item_axis=None,
+    respondent_axis=None,
 ):
     """Pieces of log p(theta) + log p(z | theta, beta), GP f* marginalized.
 
@@ -1074,26 +1128,59 @@ def _z_marginal_parts(
     the total quadratic form is O(n*m) ~ 1e5 while candidate differences are
     O(1), which a float32 subtraction of totals would cancel away;
     elementwise differencing keeps the error ~ sqrt(n*m)*eps.
+
+    Mesh sharding (match _z_marginal_delta's axes): under ``item_axis`` the
+    item dimension m of z/beta is device-local — p and q carry local item
+    columns (summed+psum'd by the delta) and ``small`` uses the GLOBAL item
+    count against the logdet. Under ``respondent_axis`` the dense (n, n)
+    Woodbury factorization is replaced by the rank-(q+3) capacitance path
+    (_lowrank_quad_parts): p holds the local respondent rows, q is built
+    from psum-complete contractions (identical on every shard), and the
+    theta log-prior is psum-completed here so ``small`` is replicated.
     """
     H, n, m = z.shape
     theta = theta_from_indices(theta_idx, consts)
     mu = compute_mu(theta, beta)
-    wb = woodbury_factors(theta_idx, consts, temp=temp)
-    p, q = woodbury_quad_parts(wb, z - mu)
-    small = (-0.5 * m * jnp.sum(wb.logdet)
-             + _theta_logprior_total(theta, consts, config))
+    m_glob = m if item_axis is None else m * jax.lax.psum(1, item_axis)
+    if respondent_axis is None:
+        wb = woodbury_factors(theta_idx, consts, temp=temp)
+        p, q = woodbury_quad_parts(wb, z - mu)
+        logdet = wb.logdet
+    else:
+        p, q, logdet = _lowrank_quad_parts(
+            theta_idx, consts, z - mu, temp=temp, psum_axis=respondent_axis
+        )
+    lp = _theta_logprior_total(theta, consts, config)
+    if respondent_axis is not None:
+        lp = jax.lax.psum(lp, respondent_axis)
+    small = -0.5 * m_glob * jnp.sum(logdet) + lp
     return p, q, small
 
 
-def _z_marginal_delta(parts_new, parts_old) -> jnp.ndarray:
-    """log-posterior difference new - old from _z_marginal_parts pieces."""
+def _z_marginal_delta(parts_new, parts_old, item_axis=None,
+                      respondent_axis=None) -> jnp.ndarray:
+    """log-posterior difference new - old from _z_marginal_parts pieces.
+
+    Axis discipline (the dual of _z_marginal_parts): p rows are
+    respondent-local AND item-local (psum over both axes); q columns are
+    item-local but already respondent-complete (psum over the item axis
+    only); ``small`` is replicated. The result is identical on every shard,
+    so a replicated-key MH decision stays consistent across the mesh.
+    """
     p_n, q_n, s_n = parts_new
     p_o, q_o, s_o = parts_old
-    dquad = jnp.sum(p_n - p_o) - jnp.sum(q_n - q_o)
-    return -0.5 * dquad + (s_n - s_o)
+    dp = jnp.sum(p_n - p_o)
+    dq = jnp.sum(q_n - q_o)
+    if respondent_axis is not None:
+        dp = jax.lax.psum(dp, respondent_axis)
+    if item_axis is not None:
+        dp = jax.lax.psum(dp, item_axis)
+        dq = jax.lax.psum(dq, item_axis)
+    return -0.5 * (dp - dq) + (s_n - s_o)
 
 
-def _dilation_interval_logq(d: jnp.ndarray, dp: jnp.ndarray, sd: float):
+def _dilation_interval_logq(d: jnp.ndarray, dp: jnp.ndarray, sd: float,
+                            respondent_axis=None):
     """log q(idx -> idx') for the dilation proposal idx' = round(cen + a*d).
 
     The set of dilation factors a = e^l (l ~ N(0, sd^2)) mapping centered
@@ -1103,6 +1190,10 @@ def _dilation_interval_logq(d: jnp.ndarray, dp: jnp.ndarray, sd: float):
     (d_i = 0) are unconstrained; dp_i = 0 with d_i != 0 is unreachable in
     reverse (log q = -inf), which correctly rejects irreversible collapses
     onto the center. float32-safe: bounds clamped inside [1e-30, 1e30].
+
+    Under ``respondent_axis`` the sites (respondents) are device-local, so
+    the interval intersection is completed with one pmax/pmin pair —
+    every shard then holds the identical global log q.
     """
     from jax.scipy.special import log_ndtr
 
@@ -1117,8 +1208,12 @@ def _dilation_interval_logq(d: jnp.ndarray, dp: jnp.ndarray, sd: float):
     lo = jnp.where(d == 0, 1e-30, lo)
     hi = jnp.where(d == 0, 1e30, hi)
     hi = jnp.where(reachable, hi, -1.0)  # forces a_hi < a_lo -> -inf
-    a_lo = jnp.clip(jnp.max(lo), 1e-30, 1e30)
-    a_hi = jnp.clip(jnp.min(hi), 1e-30, 1e30)
+    lo_max, hi_min = jnp.max(lo), jnp.min(hi)
+    if respondent_axis is not None:
+        lo_max = jax.lax.pmax(lo_max, respondent_axis)
+        hi_min = jax.lax.pmin(hi_min, respondent_axis)
+    a_lo = jnp.clip(lo_max, 1e-30, 1e30)
+    a_hi = jnp.clip(hi_min, 1e-30, 1e30)
     llo = jnp.log(a_lo) / sd
     lhi = jnp.log(a_hi) / sd
     # log(Phi(lhi) - Phi(llo)) stably: logPhi(hi) + log1p(-exp(logPhi(lo)-logPhi(hi)))
@@ -1151,6 +1246,58 @@ def _beta_logprior_delta(beta_new, beta_old, consts) -> jnp.ndarray:
     )
 
 
+def _shift_orbit_lowrank(idx_jc, r, consts, temp=None, psum_axis=None):
+    """Per-offset (q, logdet) of the z-marginal over a shift orbit via the
+    rank-(q+3) split — the respondent-sharded dual of the dense orbit math
+    in shift_orbit_gibbs. Returns (q, ld), both (J,), psum-complete.
+
+    With B_j = T I + U_j U_j^T (U_j the eigenbasis rows gathered at the
+    shifted indices), r^T B_j^{-1} r = (r^T r - Ur_j^T C_j^{-1} Ur_j)/T; the
+    r^T r / T term is offset-invariant (r is the orbit-invariant residual)
+    and drops from relative log-probabilities, so only q_j = Ur_j^T C_j^{-1}
+    Ur_j / T and the full logdet B_j vary. Unlike the dense path there is no
+    shared (n, n) factor — but each offset costs only one (k, k) capacitance
+    from psum'd U^T-contractions, so the whole orbit is small matmuls.
+    """
+    dt = r.dtype
+    t = jnp.asarray(1.0 if temp is None else temp, dt)
+    U_j = jnp.concatenate(
+        [consts.U_se[idx_jc], consts.Psi_grid[idx_jc]], axis=-1
+    )  # (J, H, n, k)
+    k = U_j.shape[-1]
+
+    def _rsum(v):
+        return v if psum_axis is None else jax.lax.psum(v, psum_axis)
+
+    C = t * jnp.eye(k, dtype=dt) + _rsum(jnp.einsum(
+        "jhnk,jhnl->jhkl", U_j, U_j, precision=_HI
+    ))
+    Ur = _rsum(jnp.einsum("jhnk,hnm->jhkm", U_j, r, precision=_HI))
+    sc = jnp.sqrt(jnp.diagonal(C, axis1=-2, axis2=-1))  # (J, H, k)
+    inv_sc = 1.0 / sc
+    Ceq = C * (inv_sc[..., :, None] * inv_sc[..., None, :])
+    Lc = jnp.linalg.cholesky(Ceq)
+
+    def c_solve(rhs):  # C^{-1} rhs with equilibration + one refinement
+        def once(b):
+            w = tri_solve(Lc, b * inv_sc[..., None])
+            return tri_solve(Lc, w, trans=True) * inv_sc[..., None]
+        w = once(rhs)
+        resid = rhs - jnp.einsum("...kl,...lm->...km", C, w, precision=_HI)
+        return w + once(resid)
+
+    q = jnp.einsum("jhkm,jhkm->j", Ur, c_solve(Ur), precision=_HI) / t
+    _, H, n, _ = U_j.shape
+    n_glob = n if psum_axis is None else n * jax.lax.psum(1, psum_axis)
+    ld = (
+        H * (n_glob - k) * jnp.log(t)
+        + 2.0 * jnp.sum(jnp.log(jnp.diagonal(Lc, axis1=-2, axis2=-1)),
+                        axis=(1, 2))
+        + 2.0 * jnp.sum(jnp.log(sc), axis=(1, 2))
+    )
+    return q, ld
+
+
 def shift_orbit_gibbs(
     key: jax.Array,
     theta_idx: jnp.ndarray,
@@ -1159,6 +1306,8 @@ def shift_orbit_gibbs(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     temp=None,
+    item_axis=None,
+    respondent_axis=None,
 ):
     """Windowed Gibbs draw of the collective location mode. Returns
     (theta_idx, beta).
@@ -1181,6 +1330,16 @@ def shift_orbit_gibbs(
     Z(center)/Z(candidate window) — exact for the windowed proposal
     (plain truncation to a state-centered window would bias the draw near
     the window edges). W = config.affine_shift_max.
+
+    Mesh sharding: the caller must pass a REPLICATED key. Under
+    ``item_axis`` the per-offset quadratic forms and beta-prior sums are
+    psum-completed over the local item columns (the (n, n) orbit math is
+    replicated — theta_idx is full-n on every item shard). Under
+    ``respondent_axis`` the dense orbit is replaced by the rank-(q+3)
+    per-offset capacitance path (_shift_orbit_lowrank) and the theta prior
+    and grid-validity checks are completed with psum/pmin/pmax. Either way
+    every shard computes the identical logp vector, so the Gumbel pick and
+    MH accept agree across the mesh.
     """
     N = config.grid_size
     W = config.affine_shift_max
@@ -1189,52 +1348,69 @@ def shift_orbit_gibbs(
     H, n, m = z.shape
     J = 4 * W + 1
     offs = jnp.arange(-2 * W, 2 * W + 1, dtype=jnp.int32)  # (J,)
+    m_glob = m if item_axis is None else m * jax.lax.psum(1, item_axis)
 
     theta = theta_from_indices(theta_idx, consts)
     mu = compute_mu(theta, beta)
     r = z - mu
 
-    # orbit-invariant heavy pieces (A = K_SE + T I; T = 1 untempered)
-    A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
-    eye_n = jnp.eye(n, dtype=dt)
-    A = A + (eye_n if temp is None else jnp.asarray(temp, dt) * eye_n)
-    La = jnp.linalg.cholesky(A)
-
     idx_j = theta_idx[None] + offs[:, None, None]  # (J, H, n)
-    valid = (jnp.min(idx_j, axis=(1, 2)) >= 0) & (
-        jnp.max(idx_j, axis=(1, 2)) <= N - 1
-    )  # (J,)
+    mn = jnp.min(idx_j, axis=(1, 2))
+    mx = jnp.max(idx_j, axis=(1, 2))
+    if respondent_axis is not None:
+        mn = jax.lax.pmin(mn, respondent_axis)
+        mx = jax.lax.pmax(mx, respondent_axis)
+    valid = (mn >= 0) & (mx <= N - 1)  # (J,)
     idx_jc = jnp.clip(idx_j, 0, N - 1)
 
-    Psi_j = consts.Psi_grid[idx_jc]  # (J, H, n, 3)
-    Pfl = jnp.transpose(Psi_j, (1, 2, 0, 3)).reshape(H, n, J * 3)
-    # one fused solve for both A^{-1}r and A^{-1}Psi_j (triangular solves on
-    # TPU are latency-bound in n; batching the rhs widths is ~free)
-    sol = _a_solve(La, A, jnp.concatenate([r, Pfl], axis=-1))
-    x, AinvP = sol[..., :m], sol[..., m:]
-    u = jnp.einsum("jhnp,hnm->jhpm", Psi_j, x, precision=_HI)  # (J, H, 3, m)
-    AinvP = AinvP.reshape(H, n, J, 3)
-    AinvP = jnp.transpose(AinvP, (2, 0, 1, 3))  # (J, H, n, 3)
-    C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
-        "jhnp,jhnq->jhpq", Psi_j, AinvP, precision=_HI
-    )
-    Lc3 = chol3(C3)
-    v = _c3_solve(Lc3, C3, u)  # (J, H, 3, m)
-    q = jnp.einsum("jhpm,jhpm->j", u, v, precision=_HI)
-    logdet_c3 = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=(1, 2)
-    )  # (J,)
+    if respondent_axis is None:
+        # orbit-invariant heavy pieces (A = K_SE + T I; T = 1 untempered)
+        A = consts.grid_gram_se[theta_idx[:, :, None], theta_idx[:, None, :]]
+        eye_n = jnp.eye(n, dtype=dt)
+        A = A + (eye_n if temp is None else jnp.asarray(temp, dt) * eye_n)
+        La = jnp.linalg.cholesky(A)
+
+        Psi_j = consts.Psi_grid[idx_jc]  # (J, H, n, 3)
+        Pfl = jnp.transpose(Psi_j, (1, 2, 0, 3)).reshape(H, n, J * 3)
+        # one fused solve for both A^{-1}r and A^{-1}Psi_j (triangular
+        # solves on TPU are latency-bound in n; batching the rhs widths is
+        # ~free)
+        sol = _a_solve(La, A, jnp.concatenate([r, Pfl], axis=-1))
+        x, AinvP = sol[..., :m], sol[..., m:]
+        u = jnp.einsum("jhnp,hnm->jhpm", Psi_j, x, precision=_HI)  # (J,H,3,m)
+        AinvP = AinvP.reshape(H, n, J, 3)
+        AinvP = jnp.transpose(AinvP, (2, 0, 1, 3))  # (J, H, n, 3)
+        C3 = jnp.eye(3, dtype=dt) + jnp.einsum(
+            "jhnp,jhnq->jhpq", Psi_j, AinvP, precision=_HI
+        )
+        Lc3 = chol3(C3)
+        v = _c3_solve(Lc3, C3, u)  # (J, H, 3, m)
+        q = jnp.einsum("jhpm,jhpm->j", u, v, precision=_HI)
+        # relative logdet over the orbit: logdet B_j = logdet A (invariant,
+        # drops in the softmax) + logdet C3_j
+        ld = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(Lc3, axis1=-2, axis2=-1)), axis=(1, 2)
+        )  # (J,)
+    else:
+        q, ld = _shift_orbit_lowrank(idx_jc, r, consts, temp=temp,
+                                     psum_axis=respondent_axis)
+    if item_axis is not None:
+        q = jax.lax.psum(q, item_axis)
 
     th_j = consts.grid[idx_jc].astype(dt)  # (J, H, n)
     thp = jax.vmap(lambda th: _theta_logprior_total(th, consts, config))(th_j)
+    if respondent_axis is not None:
+        thp = jax.lax.psum(thp, respondent_axis)
     delta_j = offs.astype(dt) * jnp.asarray(step, dt)  # (J,)
     beta_j = jax.vmap(lambda d: _beta_shift_map(beta, d))(delta_j)  # (J,H,3,m)
     var_b = (jnp.square(consts.beta_prior_sds) + 1e-6).astype(dt)
     bp = -0.5 * jnp.sum(jnp.square(beta_j) / var_b[None, None], axis=(1, 2, 3))
+    if item_axis is not None:
+        bp = jax.lax.psum(bp, item_axis)
 
     # relative log pi over the orbit (the invariant sum(p) term drops):
-    # -0.5(sum p - q_j) - 0.5 m logdet(A) - 0.5 m logdet(C3_j) + priors
-    logp = 0.5 * q - 0.5 * m * logdet_c3 + thp + bp
+    # -0.5(sum p - q_j) - 0.5 m logdet(B_j) + priors
+    logp = 0.5 * q - 0.5 * m_glob * ld + thp + bp
     logp = jnp.where(valid, logp, -jnp.inf)
 
     k_pick, k_acc = jax.random.split(key)
@@ -1262,6 +1438,8 @@ def affine_theta_moves(
     consts: GPIRTConstants,
     config: GPIRTConfig,
     temp=None,
+    item_axis=None,
+    respondent_axis=None,
 ):
     """Collective shift/dilation MH moves on (theta, beta). Returns
     (theta_idx, beta).
@@ -1292,6 +1470,12 @@ def affine_theta_moves(
 
     Proposals that leave the grid are rejected. Everything is
     elementwise/batched linear algebra — vmap-safe across chains.
+
+    Mesh sharding (``item_axis`` / ``respondent_axis``): the caller must
+    pass a key REPLICATED across the mesh — proposals and accept decisions
+    are global scalars, completed from psum'd statistics (see
+    shift_orbit_gibbs / _z_marginal_parts), so every shard takes the
+    identical transition on its local slice of (theta_idx, beta).
     """
     N = config.grid_size
     cen = (N - 1) / 2.0
@@ -1301,12 +1485,15 @@ def affine_theta_moves(
     k_shift, k_dil = jax.random.split(key)
     if config.affine_shift_max > 0:
         theta_idx, beta = shift_orbit_gibbs(
-            k_shift, theta_idx, z, beta, consts, config, temp=temp
+            k_shift, theta_idx, z, beta, consts, config, temp=temp,
+            item_axis=item_axis, respondent_axis=respondent_axis,
         )
     if config.affine_rounds == 0:
         return theta_idx, beta
 
-    parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config, temp=temp)
+    parts0 = _z_marginal_parts(theta_idx, z, beta, consts, config, temp=temp,
+                               item_axis=item_axis,
+                               respondent_axis=respondent_axis)
 
     def accept(carry_parts, cand_parts, acc):
         return jax.tree_util.tree_map(
@@ -1321,14 +1508,21 @@ def affine_theta_moves(
         a = jnp.exp(ell)
         d = idx.astype(dt) - cen
         idx_d = jnp.round(cen + a * d).astype(jnp.int32)
-        ok = (jnp.min(idx_d) >= 0) & (jnp.max(idx_d) <= N - 1)
+        mn, mx = jnp.min(idx_d), jnp.max(idx_d)
+        if respondent_axis is not None:
+            mn = jax.lax.pmin(mn, respondent_axis)
+            mx = jax.lax.pmax(mx, respondent_axis)
+        ok = (mn >= 0) & (mx <= N - 1)
         idx_d = jnp.clip(idx_d, 0, N - 1)
         dp = idx_d.astype(dt) - cen
-        logq_fwd = _dilation_interval_logq(d, dp, sd)
-        logq_rev = _dilation_interval_logq(dp, d, sd)
-        parts_d = _z_marginal_parts(idx_d, z, beta, consts, config, temp=temp)
+        logq_fwd = _dilation_interval_logq(d, dp, sd, respondent_axis)
+        logq_rev = _dilation_interval_logq(dp, d, sd, respondent_axis)
+        parts_d = _z_marginal_parts(idx_d, z, beta, consts, config, temp=temp,
+                                    item_axis=item_axis,
+                                    respondent_axis=respondent_axis)
         log_u = jnp.log(jax.random.uniform(k_du, (), dt))
-        ratio = _z_marginal_delta(parts_d, parts) + logq_rev - logq_fwd
+        ratio = (_z_marginal_delta(parts_d, parts, item_axis, respondent_axis)
+                 + logq_rev - logq_fwd)
         acc = ok & jnp.isfinite(ratio) & (log_u < ratio)
         idx = jnp.where(acc, idx_d, idx)
         parts = accept(parts, parts_d, acc)
@@ -2423,13 +2617,11 @@ def gibbs_sweep(
             raise NotImplementedError(
                 f"{which}-sharded sweeps need f_method='conjugate'"
             )
-        if config.affine_rounds > 0 or config.affine_shift_max > 0:
-            raise NotImplementedError(
-                "affine theta moves are not mesh-sharded (their z-marginal "
-                "evaluations reduce over items and respondents); disable "
-                "them under item_axis/respondent_axis"
-            )
     k_f, k_fs, k_th, k_b, k_t = jax.random.split(key, 5)
+    # the affine moves need a key REPLICATED across any mesh axis (their
+    # proposals/accepts are global decisions on psum'd statistics); capture
+    # k_f before the per-shard folds below — identical to k_f when unsharded
+    k_f_repl = k_f
     if item_axis is not None:
         # independent per-shard streams for the item-local blocks; k_th
         # stays replicated (every shard must draw the same theta)
@@ -2478,8 +2670,9 @@ def gibbs_sweep(
                 # (theta, beta) collectively against the z-marginal, then
                 # regenerate f* from its exact conditional below
                 theta_idx, beta_m = affine_theta_moves(
-                    jax.random.fold_in(k_f, 3 * s + 1), theta_idx, z,
+                    jax.random.fold_in(k_f_repl, 3 * s + 1), theta_idx, z,
                     state.beta, consts, config, temp,
+                    item_axis=item_axis, respondent_axis=respondent_axis,
                 )
                 state = state._replace(theta_idx=theta_idx, beta=beta_m)
                 theta = theta_from_indices(theta_idx, consts)

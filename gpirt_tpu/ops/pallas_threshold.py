@@ -56,9 +56,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gpirt_tpu.ops.pallas_ll import _erf
-
 __all__ = ["binary_threshold_ess_pallas", "PALLAS_THRESHOLD_ROUNDS"]
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (|error| <= 1.5e-7, i.e. float32
+    exact) — Mosaic has no erf primitive, so we lower it ourselves with one
+    exp and a degree-5 polynomial on the VPU. (Moved here from the retired
+    ops/pallas_ll.py — see RESULTS.md "Pallas A/Bs" for that module's
+    measurements and retirement record.)"""
+    dt = x.dtype
+    sign = jnp.where(x < 0, jnp.asarray(-1.0, dt), jnp.asarray(1.0, dt))
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + jnp.asarray(0.3275911, dt) * ax)
+    poly = t * (
+        jnp.asarray(0.254829592, dt)
+        + t * (
+            jnp.asarray(-0.284496736, dt)
+            + t * (
+                jnp.asarray(1.421413741, dt)
+                + t * (
+                    jnp.asarray(-1.453152027, dt)
+                    + t * jnp.asarray(1.061405429, dt)
+                )
+            )
+        )
+    )
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
 
 _TWO_PI = 6.283185307179586
 # Round cap inside the kernel. Measured senate lane-max is 12-17; capped

@@ -264,38 +264,6 @@ class TestESS:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-class TestPallasLL:
-    def test_matches_xla_path(self):
-        """Pallas fused ordinal-ll kernel (interpret mode) == jnp path."""
-        from gpirt_tpu.ops.pallas_ll import ordinal_ll_lanes
-        from gpirt_tpu.ops.likelihood import ll_terms_from_bounds
-
-        rng = np.random.default_rng(0)
-        n, L = 37, 130  # deliberately unaligned (exercises padding)
-        g = jnp.asarray(rng.standard_normal((n, L)), jnp.float32)
-        zlo = jnp.asarray(np.asarray(g) - rng.uniform(0.1, 2, (n, L)), jnp.float32)
-        zhi = jnp.asarray(np.asarray(g) + rng.uniform(0.1, 2, (n, L)), jnp.float32)
-        mask = jnp.asarray(rng.random((n, L)) > 0.3, jnp.float32)
-        want = jnp.sum(ll_terms_from_bounds(g, zlo, zhi, mask > 0), axis=0)
-        got = ordinal_ll_lanes(g, zlo, zhi, mask, interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=2e-5, atol=2e-5)
-
-    def test_infinite_bounds(self):
-        """+-inf cutpoints (first/last categories) stay finite."""
-        from gpirt_tpu.ops.pallas_ll import ordinal_ll_lanes
-
-        n, L = 8, 128
-        g = jnp.zeros((n, L), jnp.float32)
-        zlo = jnp.full((n, L), -jnp.inf, jnp.float32)
-        zhi = jnp.full((n, L), 0.5, jnp.float32)
-        mask = jnp.ones((n, L), jnp.float32)
-        out = np.asarray(ordinal_ll_lanes(g, zlo, zhi, mask, interpret=True))
-        from scipy import stats
-        want = n * np.log(stats.norm.cdf(0.5) + 1e-6)
-        np.testing.assert_allclose(out, want, rtol=1e-4)
-
-
 class TestPallasThresholdESS:
     def _replica(self, key, t1, nu, g, sgn, obs, c, rounds):
         """Pure-JAX replica consuming the kernel's exact uniform stream —
@@ -311,8 +279,8 @@ class TestPallasThresholdESS:
 
         def ll(t):
             x = sgn * (t[None, :] - g) * c
-            # the kernel's polynomial erf (pallas_ll._erf), not lax.erf
-            from gpirt_tpu.ops.pallas_ll import _erf
+            # the kernel's polynomial erf, not lax.erf
+            from gpirt_tpu.ops.pallas_threshold import _erf
             p = 0.5 * (1.0 + _erf(x))
             return jnp.sum(jnp.log(p + 1e-6) * obs, axis=0)
 

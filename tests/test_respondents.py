@@ -156,6 +156,36 @@ class TestDrawThresholdSharded:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-10, atol=1e-12)
 
+    @pytest.mark.parametrize("C", [2, 4])
+    def test_newton_matches_unsharded(self, C):
+        """Replicated key + psum'd Newton data sums -> identical proposals
+        and accept decisions -> identical cutpoints (binary scalar kernel
+        and the ordinal joint delta-space kernel)."""
+        import dataclasses
+        _, y, ti, thr, consts, config = _setup(n=24, m=8, C=C)
+        config = dataclasses.replace(config, threshold_method="newton")
+        H, n, m = y.shape
+        rng = np.random.default_rng(2)
+        f = jnp.asarray(rng.normal(size=(H, n, m)))
+        mu = jnp.asarray(0.1 * rng.normal(size=(H, n, m)))
+        thr = jnp.asarray(thr)
+        key = jax.random.key(7)
+        ref = draw_threshold(key, thr, f, mu, y, config)
+
+        mesh = _resp_mesh()
+        fn = shard_map(
+            lambda ff, mm, yy: draw_threshold(key, thr, ff, mm, yy, config,
+                                              psum_axis=RAX),
+            mesh=mesh,
+            in_specs=(P(None, RAX, None), P(None, RAX, None),
+                      P(None, RAX, None)),
+            out_specs=P(),
+            check_vma=False,
+        )
+        got = jax.jit(fn)(f, mu, y)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-10, atol=1e-12)
+
     def test_collapsed_matches_unsharded(self):
         """The z-box extrema pool exactly via pmax/pmin."""
         _, y, ti, thr, consts, config = _setup(n=24, m=8)
@@ -426,3 +456,124 @@ class TestAnnealRespondentSharded:
             anneal_init(chain_keys(0, 4), y, ti, thr, consts, config,
                         n_steps=4, max_temp=4.0, mesh=_resp_mesh(),
                         respondent_axis=RAX)
+
+
+class TestAffineSharded:
+    """Collective affine (theta, beta) moves under respondent sharding.
+
+    Sharded, the z-marginal runs through the rank-(q+3) capacitance path
+    (_lowrank_quad_parts / _shift_orbit_lowrank, psum-complete); unsharded
+    it uses the dense (n, n) Woodbury factors. The two agree to the
+    eigenbasis truncation (~1e-10 relative, test_affine.py
+    test_lowrank_bsolve_matches_dense), so with a fixed key every MH
+    proposal and accept decision matches and the integer theta_idx outputs
+    must be identical (a ratio landing within ~1e-8 of the log-uniform
+    would flip — probability ~0 and deterministic per seed)."""
+
+    def test_moves_match_unsharded(self):
+        import dataclasses
+        from gpirt_tpu.models.gibbs import affine_theta_moves
+
+        _, y, ti, thr, consts, config = _setup(n=24, m=8)
+        config = dataclasses.replace(config, affine_rounds=4,
+                                     affine_shift_max=3)
+        H, n, m = y.shape
+        rng = np.random.default_rng(5)
+        idx = jnp.asarray(rng.integers(20, config.grid_size - 20, (H, n)),
+                          jnp.int32)
+        z = jnp.asarray(rng.normal(size=(H, n, m)))
+        beta = jnp.asarray(0.3 * rng.normal(size=(H, 3, m)))
+        key = jax.random.key(3)
+        ref_idx, ref_beta = affine_theta_moves(key, idx, z, beta, consts,
+                                               config)
+
+        mesh = _resp_mesh()
+        fn = shard_map(
+            lambda i, zz, bb, cc: affine_theta_moves(
+                key, i, zz, bb, cc, config, respondent_axis=RAX),
+            mesh=mesh,
+            in_specs=(P(None, RAX), P(None, RAX, None), P(),
+                      consts_mesh_specs(consts, None, RAX)),
+            out_specs=(P(None, RAX), P()),
+            check_vma=False,
+        )
+        got_idx, got_beta = jax.jit(fn)(idx, z, beta, consts)
+        np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(got_beta), np.asarray(ref_beta),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_moves_match_unsharded_2d_mesh(self):
+        """Items x respondents: p psums over both axes, q over items only,
+        the shift orbit over both — decisions must still be global."""
+        import dataclasses
+        from gpirt_tpu.models.gibbs import affine_theta_moves
+
+        _, y, ti, thr, consts, config = _setup(n=16, m=8)
+        config = dataclasses.replace(config, affine_rounds=3,
+                                     affine_shift_max=2)
+        H, n, m = y.shape
+        rng = np.random.default_rng(11)
+        idx = jnp.asarray(rng.integers(25, config.grid_size - 25, (H, n)),
+                          jnp.int32)
+        z = jnp.asarray(rng.normal(size=(H, n, m)))
+        beta = jnp.asarray(0.3 * rng.normal(size=(H, 3, m)))
+        key = jax.random.key(6)
+        ref_idx, ref_beta = affine_theta_moves(key, idx, z, beta, consts,
+                                               config)
+
+        IAX = "items"
+        mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), (IAX, RAX))
+        fn = shard_map(
+            lambda i, zz, bb, cc: affine_theta_moves(
+                key, i, zz, bb, cc, config, item_axis=IAX,
+                respondent_axis=RAX),
+            mesh=mesh,
+            in_specs=(P(None, RAX), P(None, RAX, IAX), P(None, None, IAX),
+                      consts_mesh_specs(consts, IAX, RAX)),
+            out_specs=(P(None, RAX), P(None, None, IAX)),
+            check_vma=False,
+        )
+        got_idx, got_beta = jax.jit(fn)(idx, z, beta, consts)
+        np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+        np.testing.assert_allclose(np.asarray(got_beta), np.asarray(ref_beta),
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_sweep_with_affine_replication_invariant(self):
+        """Full sweeps with both affine moves ON under respondent sharding:
+        the replicated leaves stay bit-consistent across shards (the
+        affine moves update theta_idx rows locally but beta globally, so a
+        key-discipline slip would desynchronize beta immediately)."""
+        import dataclasses
+        from gpirt_tpu.models.gibbs import gibbs_sweep
+
+        _, y, ti, thr, consts, config = _setup(n=24, m=8)
+        config = dataclasses.replace(config, affine_rounds=2,
+                                     affine_shift_max=2)
+        mesh = _resp_mesh()
+        tij = jnp.asarray(ti, config.jdtype)
+        thrj = jnp.asarray(thr, config.jdtype)
+
+        def body(yy, ti_loc, cc):
+            k = jax.random.key(0)
+            s = init_state(k, ti_loc, thrj, yy, cc, config)
+            for it in range(3):
+                s, ll = gibbs_sweep(s, jax.random.fold_in(k, it), yy, cc,
+                                    config, respondent_axis=RAX)
+
+            def dev(v):
+                g = jax.lax.all_gather(v, RAX)
+                return jnp.max(jnp.abs(g - g[0]))
+            return dev(s.fstar), dev(s.beta), dev(s.thresholds[:, :, 1:-1]), ll
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, RAX, None), P(None, RAX),
+                      consts_mesh_specs(consts, None, RAX)),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        d_fstar, d_beta, d_thr, ll = jax.jit(fn)(y, tij, consts)
+        assert float(d_fstar) == 0.0
+        assert float(d_beta) == 0.0
+        assert float(d_thr) == 0.0
+        assert np.isfinite(float(ll))
