@@ -112,13 +112,16 @@ def flops_model(n, m, H, N, C, affine_rounds, mix_subsweeps, n_chains,
     blocks["affine_moves"] = orbit + (
         (affine_rounds + 1) * per_eval if affine_rounds else 0.0
     )
-    # draw_fstar_conjugate: eigenbasis ustar (N(q+3)m, q=32; replaced the
-    # dense L_grid N^2 m matmul in r3), rank-(q+3) capacitance solves
-    # (~4 n (q+3) m), kstar contraction (n N m) + rank-3 pieces.
+    # draw_fstar_conjugate after the round-5 push-through smoother: ONE
+    # (N, q+3) x (q+3, m) grid matmul, ~4 rank-(q+3) site contractions
+    # (u_theta, g_k, capacitance build, refinement apply), tiny (k, k)
+    # factor. The r3-r4 model also charged a kstar contraction mm(n, N, m)
+    # — stale since the shared-basis fusion deleted it; with it the block
+    # read 3x its real flops and its MFU was overstated (r4 "26% MFU" at
+    # 5k x 1k is ~7% on the honest count).
     q3 = 35
     blocks["draw_fstar"] = mix_subsweeps * H * (
-        mm(N, q3, m) + 4 * mm(n, q3, m)
-        + mm(n, N, m) + tr(2 * n * m)
+        mm(N, q3, m) + 4 * mm(n, q3, m) + tr(2 * n * m)
     )
     # draw_beta_conjugate: Gram + rhs + 3x3 solves per (H, m).
     blocks["draw_beta"] = H * (mm(n, 3, 3) + mm(n, 3, m) + 50 * 27 * m)
