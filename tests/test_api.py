@@ -106,6 +106,7 @@ class TestDynamic:
             np.testing.assert_allclose(th[..., 0], th[..., 1])
             np.testing.assert_allclose(th[..., 0], th[..., 2])
 
+    @pytest.mark.slow
     def test_gp_regime_recovers_drift(self):
         """GP-regime drift recovery with the reference-parity ESS update.
 
@@ -282,6 +283,7 @@ class TestOptionValidation:
         np.testing.assert_array_equal(a[0]["theta"], b[0]["theta"])
         assert "swap_rate" in a[0]
 
+    @pytest.mark.slow
     def test_mesh_plus_checkpoint_composes(self, tmp_path):
         """A chain mesh now composes with checkpointing: the chunked
         checkpointed driver shard_maps over the mesh, and the host-numpy
@@ -330,6 +332,7 @@ class TestOptionValidation:
         assert len(out) == 8
         assert np.isfinite(out[0]["ll"]).all()
 
+    @pytest.mark.slow
     def test_smc_plus_checkpoint_composes(self, tmp_path):
         """SMC annealed init + resumable checkpointed sampling now compose:
         the annealed ensemble seeds the run; a resume reproduces the same
@@ -353,6 +356,7 @@ class TestOptionValidation:
 
 
 class TestThresholdMethods:
+    @pytest.mark.slow
     def test_resolution_and_both_run(self):
         from gpirt_tpu.models.config import GPIRTConfig
 

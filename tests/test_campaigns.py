@@ -39,6 +39,7 @@ def _stack_keys(seed, B, K):
 
 
 class TestBatchedAnneal:
+    @pytest.mark.slow
     def test_batched_equals_solo_per_campaign(self):
         """Campaign b of the batched program must equal a solo anneal_init
         run from the same keys (weight math, resample decisions and lane
@@ -108,6 +109,7 @@ class TestBatchedAnneal:
 
 
 class TestCampaignSampling:
+    @pytest.mark.slow
     def test_flat_lanes_equal_solo_campaign(self):
         """The flattened (B*K)-lane sampling run reproduces each campaign's
         solo run exactly: lane keys are per-chain, so batching cannot mix
@@ -172,6 +174,7 @@ class TestGpirtCampaigns:
         # binary default schedule resolves to the newton kernel
         assert out["schedule"]["threshold_method"] == "newton"
 
+    @pytest.mark.slow
     def test_campaigns_are_seed_reproducible(self):
         data = self._binary_data()
         kw = dict(n_campaigns=2, n_chains=3, sample_iterations=4,
@@ -195,6 +198,7 @@ class TestGpirtCampaigns:
         assert s5["threshold_method"] == "ess"
         assert s2["smc_steps"] == 160 and s2["burn_iterations"] == 25
 
+    @pytest.mark.slow
     def test_campaign_mesh_end_to_end(self):
         data = self._binary_data()
         mesh = Mesh(np.array(jax.devices()[:2]), ("campaigns",))

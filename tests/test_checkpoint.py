@@ -24,6 +24,7 @@ def _setup():
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_matches_run_chain(self, tmp_path):
         y, ti, thr, consts, config = _setup()
         key = jax.random.key(3)
@@ -41,6 +42,7 @@ class TestCheckpoint:
         np.testing.assert_allclose(np.asarray(plain["beta"]), ck["beta"], rtol=1e-9)
         np.testing.assert_allclose(np.asarray(plain["ll"]), ck["ll"], rtol=1e-9)
 
+    @pytest.mark.slow
     def test_resume_after_interrupt(self, tmp_path):
         y, ti, thr, consts, config = _setup()
         key = jax.random.key(4)
@@ -68,6 +70,7 @@ class TestCheckpoint:
         np.testing.assert_array_equal(full["theta"], resumed["theta"])
         np.testing.assert_array_equal(full["ll"], resumed["ll"])
 
+    @pytest.mark.slow
     def test_mesh_interrupt_resume_crosses_meshes(self, tmp_path):
         """A run interrupted under an 8-device chain mesh resumes WITHOUT a
         mesh (and vice versa): checkpoints are host numpy, device-layout
@@ -225,6 +228,7 @@ class TestRunSpecValidation:
 
 
 class TestCheckpointTempered:
+    @pytest.mark.slow
     def test_interrupt_resume_matches_uninterrupted(self, tmp_path):
         """checkpoint x tempering (VERDICT r3): interrupted + resumed ==
         uninterrupted tempered run, bitwise, including swap_rate."""
@@ -330,6 +334,7 @@ class TestCheckpointSharded:
         return (jnp.asarray(y), np.linspace(-2, 2, n)[None],
                 binary_thresholds(m), consts, config)
 
+    @pytest.mark.slow
     def test_item_sharded_interrupt_resume(self, tmp_path):
         from jax.sharding import Mesh
         from gpirt_tpu.parallel.chains import chain_keys
@@ -361,6 +366,7 @@ class TestCheckpointSharded:
         np.testing.assert_array_equal(full["theta"], resumed["theta"])
         np.testing.assert_array_equal(full["ll"], resumed["ll"])
 
+    @pytest.mark.slow
     def test_respondent_sharded_resumes_unsharded(self, tmp_path):
         """Interrupted under a chains x respondents mesh, resumed with no
         mesh: per-respondent key streams differ between sharded and

@@ -97,6 +97,7 @@ class TestMultihost:
 
 
 class TestTwoProcess:
+    @pytest.mark.slow
     def test_two_process_matches_single(self, tmp_path):
         """REAL jax.distributed with 2 CPU processes (4 virtual devices
         each): initialize_distributed + per-process shard materialization

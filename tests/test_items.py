@@ -123,6 +123,7 @@ class TestDrawThetaSharded:
 
 
 class TestItemShardedDriver:
+    @pytest.mark.slow
     def test_shapes_and_recovery_2d_mesh(self):
         theta_true, y, ti, thr, consts, config = _setup(n=24, m=16)
         mesh = make_item_mesh(4, 2)  # (chains=2, items=4)
@@ -161,6 +162,7 @@ class TestItemShardedDriver:
         assert draws["fstar"].shape == (2, 5, H, config.grid_size, m)
         assert np.all(np.isfinite(np.asarray(draws["fstar"])))
 
+    @pytest.mark.slow
     def test_chunked_driver_matches_monolithic(self):
         """run_chains_chunked(mesh, item_axis=...) — the bounded-execution
         production path — reproduces the monolithic item-sharded driver
@@ -261,6 +263,7 @@ class TestAffineSharded:
     psum completion of the per-item quadratic-form and beta-prior sums, so
     outputs match to float64 summation order — theta_idx exactly."""
 
+    @pytest.mark.slow
     def test_moves_match_unsharded(self):
         import dataclasses
         from gpirt_tpu.models.gibbs import affine_theta_moves

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpirt_tpu.models import GPIRTConfig, make_constants
 from gpirt_tpu.parallel import run_chains, make_chain_mesh, chain_keys
@@ -98,6 +99,7 @@ class TestDiagnostics:
 
 
 class TestChunkedChains:
+    @pytest.mark.slow
     def test_chunked_matches_unchunked(self):
         from gpirt_tpu.parallel import run_chains_chunked
 
@@ -111,6 +113,7 @@ class TestChunkedChains:
         np.testing.assert_allclose(np.asarray(a["ll"]), b["ll"], rtol=1e-12)
         np.testing.assert_allclose(np.asarray(a["beta"]), b["beta"], rtol=1e-12)
 
+    @pytest.mark.slow
     def test_chunked_sharded_matches_unsharded(self):
         """The chunked driver's shard_map path (mesh=) reproduces the
         single-device chunked run (same key schedule; shard_map vs vmap

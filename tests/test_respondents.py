@@ -276,6 +276,7 @@ def test_psum_rank_consistent():
 
 
 class TestRespondentShardedDriver:
+    @pytest.mark.slow
     def test_shapes_and_recovery_2d_mesh(self):
         theta_true, y, ti, thr, consts, config = _setup(n=32, m=24)
         mesh = make_respondent_mesh(4, n_chain_shards=2)
@@ -301,6 +302,7 @@ class TestRespondentShardedDriver:
         # sampler is in the same band, not that the data is more informative
         assert r > 0.85, r
 
+    @pytest.mark.slow
     def test_3d_mesh_chains_items_respondents(self):
         theta_true, y, ti, thr, consts, config = _setup(n=24, m=16)
         mesh = make_respondent_mesh(2, n_chain_shards=2, n_item_shards=2)
@@ -398,6 +400,7 @@ class TestAPI:
 
 
 class TestAnnealRespondentSharded:
+    @pytest.mark.slow
     def test_respondent_only_mesh(self):
         """anneal_init on a mesh with NO chain axis (model-only sharding:
         lanes replicated per respondent shard, ax=None inside _programs),
@@ -470,6 +473,7 @@ class TestAffineSharded:
     must be identical (a ratio landing within ~1e-8 of the log-uniform
     would flip — probability ~0 and deterministic per seed)."""
 
+    @pytest.mark.slow
     def test_moves_match_unsharded(self):
         import dataclasses
         from gpirt_tpu.models.gibbs import affine_theta_moves
@@ -502,6 +506,7 @@ class TestAffineSharded:
         np.testing.assert_allclose(np.asarray(got_beta), np.asarray(ref_beta),
                                    rtol=1e-10, atol=1e-12)
 
+    @pytest.mark.slow
     def test_moves_match_unsharded_2d_mesh(self):
         """Items x respondents: p psums over both axes, q over items only,
         the shift orbit over both — decisions must still be global."""

@@ -117,6 +117,7 @@ class TestEndToEnd:
         t = np.asarray(draws["theta"])[:, 0]  # (S, n)
         return align_theta_signs(t).mean(axis=0)
 
+    @pytest.mark.slow
     def test_theta_recovers_truth(self):
         theta_true, y, draws = self._run()
         post = self._aligned_posterior_mean(draws)
@@ -296,6 +297,7 @@ class TestThetaExactness:
 
 
 class TestOrdinal:
+    @pytest.mark.slow
     def test_ordinal_recovery(self):
         """Ordinal data (C=4) with graded-response structure."""
         rng = np.random.default_rng(10)
@@ -455,6 +457,7 @@ class TestFstarConstantIRF:
             d[:, 0][:, ind_idx, :].std(axis=0).max(), 0.0, atol=0.01
         )
 
+    @pytest.mark.slow
     def test_two_stage_constant_irf_end_to_end(self):
         """The reference's constant-IRF two-stage pipeline runs end to end:
         stacked (n*H) draw_f ESS (src/draw-f.cpp:84-138) + inducing-point
@@ -573,6 +576,7 @@ class TestInterleavedThreshold:
                            thr, jnp.asarray(y), consts, config)
         return config, consts, jnp.asarray(y), state
 
+    @pytest.mark.slow
     def test_dispatch_matches_components(self):
         config_i, consts, y, state = self._mk("interleave", k=3)
         config_e, _, _, _ = self._mk("ess")

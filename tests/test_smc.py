@@ -124,6 +124,7 @@ def test_program_cache_not_stale_across_datasets():
     assert not np.array_equal(np.asarray(st_a1.f), np.asarray(st_b.f))
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_unsharded():
     """Sharded SMC must reproduce single-device SMC to reduction-order
     rounding: the weight math runs on the all-gathered full (K,) vector in

@@ -126,6 +126,7 @@ def test_single_temp_matches_untempered_semantics():
     assert bool(np.isfinite(np.asarray(d["ll"])).all())
 
 
+@pytest.mark.slow
 def test_mesh_sharded_matches_unsharded():
     """Tempered ensembles shard by WHOLE groups over the device mesh
     (ROADMAP r2 item 5): swaps are group-local and the swap-uniform stream
@@ -250,6 +251,7 @@ def test_item_sharded_swap_replication():
     assert int(n_acc) > 0  # swaps actually exercised
 
 
+@pytest.mark.slow
 def test_item_sharded_tempered_driver():
     """Full 2-D (groups x items) tempered run: shapes, finiteness, swap
     diagnostics, and a sane cold chain."""
@@ -290,6 +292,7 @@ def test_item_sharded_tempered_validation():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_respondent_sharded_swap_replication():
     """Under respondent sharding, the lane states' replicated leaves (beta,
     thresholds) and the swap decisions must be bit-consistent on every
@@ -353,6 +356,7 @@ def test_respondent_sharded_swap_replication():
     assert int(n_acc) > 0  # swaps actually exercised
 
 
+@pytest.mark.slow
 def test_respondent_sharded_tempered_driver():
     """Full 2-D (groups x respondents) tempered run: shapes, finiteness,
     swap diagnostics."""
@@ -403,6 +407,7 @@ def test_respondent_sharded_tempered_validation():
         )
 
 
+@pytest.mark.slow
 def test_api_tempered_respondent_axis():
     """gpirt_mcmc(n_temps=..., mesh=..., respondent_axis=...) end to end."""
     from gpirt_tpu.api import gpirt_mcmc
