@@ -728,6 +728,29 @@ def draw_fstar_conjugate(
     # factors through the same basis, keeping the bf16-cancellation
     # failure mode out (raw K entries are ~theta^4; basis entries are
     # O(1)); HIGHEST (true f32) precision throughout.
+    if H > 1:
+        # Multi-session configs keep the round-4 formulation (explicit
+        # alpha = B^{-1} rhs via lowrank_bsolve): the push-through program
+        # below miscompiles XLA:TPU's kernel at dynamic scale — TPU worker
+        # crash at 150x60xH10 / grid 1001 / rbg keys, bisected to this
+        # commit's restructure (reproducer scripts/probe_dynamic_crash.py
+        # `default`; `threefry`, `grid_f`, `tiny`, and every H=1 shape
+        # pass). Same math either way; the push-through's measured wins
+        # (RESULTS.md round-5 fstar table) are all at H = 1, so nothing
+        # is forfeited by keeping the proven program shape here.
+        alpha, _ = lowrank_bsolve(
+            idx, consts, z_resid - u_theta - eps, temp=temp,
+            psum_axis=respondent_axis,
+        )
+        ua = jnp.einsum("hnk,hnm->hkm", U_theta, alpha, precision=hi)
+        if respondent_axis is not None:
+            ua = jax.lax.psum(ua, respondent_axis)
+        U_grid = jnp.concatenate([consts.U_se, consts.Psi_grid], axis=-1)
+        fstar = (jnp.einsum("ak,hkm->ham", U_grid, zc + ua, precision=hi)
+                 + sj * z_n)
+        f = jnp.take_along_axis(fstar, idx[:, :, None], axis=1)
+        return fstar, f
+
     t = jnp.asarray(1.0 if temp is None else temp, dt)
 
     def _rsum(v):
